@@ -1,0 +1,123 @@
+"""Typed configuration dataclasses.
+
+The reference keeps configuration as in-file constants plus two MATLAB
+option structs (``pcg_options`` at ``Class1/APD_SsN_Class1.m:81-84`` /
+``PCG.m:18-32`` and ``amg_options`` at ``Class1/APD_SsN_Class1.m:87-88`` /
+``AMG/Class_AMG.m:20-40``).  Here they are frozen dataclasses with the same
+fields and defaults, so they can be closed over by ``jax.jit`` as static
+hyperparameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from typing import Optional
+
+
+class Preconditioner(enum.Enum):
+    """PCG preconditioner menu (reference ``PCG.m:12-17``)."""
+
+    NONE = 1
+    JACOBI = 2
+    SSOR = 3
+    ICHOL = 4
+    BI_SSOR = 5
+
+
+class Cycle(enum.Enum):
+    V = "v"
+    W = "w"
+
+
+class InnerSolver(enum.Enum):
+    """Newton-system solver choice (reference ``Class1/APD_SsN_Class1.m:66-71``)."""
+
+    DIRECT = 1
+    PCG = 2
+    AUG_PCG = 3
+    AMG = 4
+    TWOGRID = 5
+
+
+@dataclasses.dataclass(frozen=True)
+class PCGOptions:
+    """Options for :func:`otamg.krylov.pcg`.
+
+    Defaults follow ``PCG.m:18-27``: relative tolerance 1e-11, maxit 1e4,
+    Jacobi preconditioner, zero initial guess.
+    """
+
+    retol: float = 1e-11
+    maxit: int = 10_000
+    precd: Preconditioner = Preconditioner.JACOBI
+    omega: float = 1.5  # SSOR relaxation weight (``PCG.m:40``, ``:96``)
+
+
+@dataclasses.dataclass(frozen=True)
+class AMGOptions:
+    """Options for the AMG engine (reference ``Class_AMG.m:6-18``).
+
+    Field-for-field match with the MATLAB ``amg_options`` struct; the demo
+    drivers use retol 1e-11, bigph, maxit 30/40, theta 1/4, smoth 5/10,
+    W-cycle, isnsp, standard interpolation
+    (``Class1/APD_SsN_Class1.m:87-88``, ``Class2/APD_SsN_Class2.m:80-81``).
+    """
+
+    retol: float = 1e-11
+    bigph: bool = True
+    maxit: int = 30
+    theta: float = 0.25
+    smoth: int = 5
+    cycle: Cycle = Cycle.W
+    isnsp: bool = True
+    inter: float = 1.0  # 0 direct / 1 standard / 2 ideal interpolation
+    # --- TPU-build extensions (no reference analogue) ---
+    max_levels: int = 10          # static unroll bound for the hierarchy
+    coarsen_ratio: float = 0.625  # per-level capacity shrink for padding
+    coarse_pcg: PCGOptions = dataclasses.field(default_factory=PCGOptions)
+    # Coarsest-grid target size: reference coarsens until
+    # ``size <= 1 + floor(N_fine**(1/3))`` (``Class_AMG.m:76``).
+
+
+@dataclasses.dataclass(frozen=True)
+class WarmupOptions:
+    """A-ADMM warm start (reference ``warmup_class1.m``, 100 its from the
+    drivers: ``Class1/APD_SsN_Class1.m:55,59``)."""
+
+    maxit: int = 100
+    res: float = 0.0
+
+
+@dataclasses.dataclass(frozen=True)
+class APDOptions:
+    """Outer APD + SsN loop parameters.
+
+    Reference: ``maxit=1e2, KKT_Tol=1e-6, SsN_IT=50, SsN_Tol1=1e-11,
+    nu=0.2, delta=0.9, ll_max=500`` (``Class1/APD_SsN_Class1.m:35-36``;
+    Class2 uses ``SsN_Tol1=1e-10``, ``Class2/APD_SsN_Class2.m:27-28``).
+    """
+
+    maxit: int = 100
+    kkt_tol: float = 1e-6
+    ssn_maxit: int = 50
+    ssn_tol1: float = 1e-11
+    nu: float = 0.2
+    delta: float = 0.9
+    ll_max: int = 500
+    inner_solver: InnerSolver = InnerSolver.AMG
+    pcg: PCGOptions = dataclasses.field(default_factory=PCGOptions)
+    amg: AMGOptions = dataclasses.field(default_factory=AMGOptions)
+    warmup: WarmupOptions = dataclasses.field(default_factory=WarmupOptions)
+    # Restart heuristic (``Class1/APD_SsN_Class1.m:245-249``): when
+    # bk1 < restart_bk_floor and the KKT residual grew, roll back.
+    restart_bk_floor: float = 1e-8
+    seed: int = 0
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshOptions:
+    """Device-mesh / sharding configuration for :mod:`otamg.dist`."""
+
+    axis_name: str = "x"
+    num_devices: Optional[int] = None  # None = all visible devices

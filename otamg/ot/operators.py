@@ -1,0 +1,209 @@
+"""Matrix-free OT operator kernels (layer L1).
+
+The discrete OT constraint matrix is the Kronecker-structured
+
+.. math::
+
+    A = \\begin{bmatrix} I_n \\otimes p^T \\\\ q^T \\otimes I_m \\end{bmatrix}
+        \\in \\mathbb{R}^{(n+m) \\times mn},
+
+with marginal weights :math:`p \\in \\mathbb{R}^m`, :math:`q \\in
+\\mathbb{R}^n`.  The reference applies it matrix-free on the vectorised plan
+(``Ax.m:10-13``, ``Aty.m:10-13``).  TPU-first redesign: the plan is *always*
+held as the dense matrix :math:`X \\in \\mathbb{R}^{m \\times n}` (MATLAB's
+``vec`` is column-major, so ingest reshapes with ``order='F'``); every
+operator application is a GEMV/GEMM or rank-2 outer-product update that maps
+straight onto the MXU/VPU.  Dual vectors are flat ``(n + m,)`` arrays with
+the ``n`` block first, matching the reference layout ``y = [r-part; l-part]``.
+
+All functions are dtype-polymorphic and jit-safe (static shapes, no Python
+control flow on traced values).  Matmuls use ``Precision.HIGHEST`` because
+the downstream Newton solves need every bit of f32 accuracy on TPU.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+_P = lax.Precision.HIGHEST
+
+# Convention used throughout this module:
+#   X : (m, n) plan matrix            s/Y : (m, n) active-set mask
+#   y : (n + m,) dual vector, blocks (yn, ym) with yn of length n
+#   p : (m,) row marginal weights     q : (n,) column marginal weights
+
+
+def split_dual(y: jax.Array, n: int):
+    """Split a flat dual vector into its (n,) and (m,) blocks."""
+    return y[:n], y[n:]
+
+
+def apply_A(X: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
+    """``A @ vec(X)`` without materialising ``A`` (reference ``Ax.m``).
+
+    Returns the flat ``(n + m,)`` vector ``[X^T p; X q]``.
+    """
+    yn = jnp.matmul(X.T, p, precision=_P)
+    ym = jnp.matmul(X, q, precision=_P)
+    return jnp.concatenate([yn, ym])
+
+
+def apply_At(y: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
+    """``unvec(A^T y)`` as an ``(m, n)`` rank-2 outer-product sum
+    (reference ``Aty.m``): ``p yn^T + ym q^T``."""
+    n = q.shape[0]
+    yn, ym = split_dual(y, n)
+    return jnp.outer(p, yn) + jnp.outer(ym, q)
+
+
+def asat_diags(S: jax.Array, p: jax.Array, q: jax.Array):
+    """Diagonal blocks of ``H0 = A diag(s) A^T`` (reference ``ASAt.m:9-19``).
+
+    With ``Y = unvec(s)``: ``d1 = Y^T (p*p)`` (length n) and
+    ``d2 = Y (q*q)`` (length m).  The off-diagonal block is the masked
+    dense matrix ``diag(q) Y^T diag(p)`` (n x m) — never materialised;
+    see :func:`apply_asat`.
+    """
+    d1 = jnp.matmul(S.T, p * p, precision=_P)
+    d2 = jnp.matmul(S, q * q, precision=_P)
+    return d1, d2
+
+
+def apply_asat(z: jax.Array, S: jax.Array, p: jax.Array, q: jax.Array,
+               d1: jax.Array | None = None,
+               d2: jax.Array | None = None) -> jax.Array:
+    """Matrix-free ``H0 @ z`` with ``H0 = A diag(s) A^T``
+    (operator form of reference ``ASAt.m`` / dead ``ASAtz.m``).
+
+    Block action on ``z = (z1 (n,), z2 (m,))``::
+
+        out1 = d1*z1 + q * (Y^T (p*z2))
+        out2 = p * (Y (q*z1)) + d2*z2
+
+    Two masked GEMVs over the ``(m, n)`` grid; O(mn) flops, fully on MXU.
+    """
+    n = q.shape[0]
+    if d1 is None or d2 is None:
+        d1, d2 = asat_diags(S, p, q)
+    z1, z2 = split_dual(z, n)
+    out1 = d1 * z1 + q * jnp.matmul(S.T, p * z2, precision=_P)
+    out2 = p * jnp.matmul(S, q * z1, precision=_P) + d2 * z2
+    return jnp.concatenate([out1, out2])
+
+
+def prox_box(X: jax.Array, gama) -> jax.Array:
+    """Projection onto ``[0, gama]`` (reference ``prox`` lambda,
+    ``Class1/APD_SsN_Class1.m:29``).  ``gama`` may be scalar ``inf``."""
+    return jnp.clip(X, 0.0, gama)
+
+
+def prox_nonneg(X: jax.Array) -> jax.Array:
+    """Projection onto the nonnegative orthant (``Class2/APD_SsN_Class2.m:25``)."""
+    return jnp.maximum(X, 0.0)
+
+
+def inv_aat(x: jax.Array, p: jax.Array, q: jax.Array,
+            sg1: float | jax.Array, sg2: float | jax.Array | None = None
+            ) -> jax.Array:
+    """Closed-form ``(diag(sg1 I_n, sg2 I_m) + A A^T)^{-1} x``
+    (reference ``invAAt.m:17-18``).
+
+    ``A A^T = [[|p|^2 I_n, q p^T], [p q^T, |q|^2 I_m]]`` — two scaled
+    identities plus a rank-1 coupling, inverted exactly in O(m + n).
+    """
+    if sg2 is None:
+        sg2 = sg1
+    n = q.shape[0]
+    np2 = jnp.vdot(p, p)
+    nq2 = jnp.vdot(q, q)
+    vn, vm = split_dual(x, n)
+    den = sg1 * sg2 + sg1 * nq2 + sg2 * np2
+    qvn = jnp.vdot(q, vn)
+    pvm = jnp.vdot(p, vm)
+    yn = vn / (sg1 + np2) + (np2 / (sg1 + np2) * qvn - pvm) * q / den
+    ym = vm / (sg2 + nq2) + (nq2 / (sg2 + nq2) * pvm - qvn) * p / den
+    return jnp.concatenate([yn, ym])
+
+
+def inv_hht(v: jax.Array, p: jax.Array, q: jax.Array, sg,
+            Phi: jax.Array) -> jax.Array:
+    """Closed-form ``(sg I + H H^T)^{-1} v`` for the POT operator
+    ``H = [G, IY, IZ]`` with ``G = [A; phi^T]`` (reference
+    ``Class2/invHHt.m:8-17``).
+
+    One extra row/column over :func:`inv_aat`, eliminated via the 2x2 block
+    Schur complement with scalar ``s = t - l^T V l``, ``l = A phi``.
+    ``Phi`` is the ``(m, n)`` matrix form of ``phi``.
+    """
+    t = sg + jnp.vdot(Phi, Phi)
+    el = apply_A(Phi, p, q)
+    Vl = inv_aat(el, p, q, sg + 1.0)
+    s = t - jnp.vdot(el, Vl)
+    v1, v2 = v[:-1], v[-1]
+    Vv1 = inv_aat(v1, p, q, sg + 1.0)
+    y1 = s * Vv1 + jnp.vdot(el, Vv1) * Vl - v2 * Vl
+    y2 = v2 - jnp.vdot(el, Vv1)
+    return jnp.concatenate([y1, y2[None]]) / s
+
+
+# ---------------------------------------------------------------------------
+# Class-2 (partial OT) extended operator H = [G, IY, IZ], G = [A; phi^T].
+# Primal u = (X (m,n), y (n,), z (m,)); dual lam has length n + m + 1.
+# ---------------------------------------------------------------------------
+
+
+def apply_H(X: jax.Array, y: jax.Array, z: jax.Array,
+            p: jax.Array, q: jax.Array, Phi: jax.Array) -> jax.Array:
+    """``H @ (vec(X), y, z)`` = ``[A vec(X) + [y; z]; <phi, x>]``
+    (reference ``Class2/APD_SsN_Class2.m:60``)."""
+    top = apply_A(X, p, q) + jnp.concatenate([y, z])
+    bot = jnp.vdot(Phi, X)
+    return jnp.concatenate([top, bot[None]])
+
+
+def apply_Ht(lam: jax.Array, p: jax.Array, q: jax.Array, Phi: jax.Array):
+    """``H^T lam`` split into plan/slack parts (reference
+    ``Class2/APD_SsN_Class2.m:124``): returns ``(G^T lam`` as ``(m, n)``,
+    ``lam[:n+m])`` — the slack blocks just see the first ``n+m`` duals."""
+    lam_nm, lam_last = lam[:-1], lam[-1]
+    Xpart = apply_At(lam_nm, p, q) + lam_last * Phi
+    return Xpart, lam_nm
+
+
+# ---------------------------------------------------------------------------
+# KKT residuals
+# ---------------------------------------------------------------------------
+
+
+def kkt_class1(X: jax.Array, lam: jax.Array, C: jax.Array, b: jax.Array,
+               p: jax.Array, q: jax.Array, gama):
+    """Primal/dual KKT residual norms for Class 1
+    (reference ``Class1/APD_SsN_Class1.m:63-65``)::
+
+        KKT(lam) = || A x - b ||
+        KKT(x)   = || x - prox(x - c - A^T lam) ||
+    """
+    kkt_l = jnp.linalg.norm(apply_A(X, p, q) - b)
+    R = X - prox_box(X - C - apply_At(lam, p, q), gama)
+    kkt_x = jnp.linalg.norm(R.ravel())
+    return kkt_x, kkt_l
+
+
+def kkt_class2(X: jax.Array, y: jax.Array, z: jax.Array, lam: jax.Array,
+               C: jax.Array, b: jax.Array, p: jax.Array, q: jax.Array,
+               Phi: jax.Array):
+    """Four KKT residual norms for Class 2 (partial OT), reference
+    ``Class2/APD_SsN_Class2.m:56-59``."""
+    n = q.shape[0]
+    kkt_l = jnp.linalg.norm(apply_H(X, y, z, p, q, Phi) - b)
+    lam_n, lam_m = lam[:n], lam[n:n + X.shape[0]]
+    kkt_z = jnp.linalg.norm(z - jnp.maximum(z - lam_m, 0.0))
+    kkt_y = jnp.linalg.norm(y - jnp.maximum(y - lam_n, 0.0))
+    Gt = apply_At(lam[:-1], p, q) + lam[-1] * Phi
+    Rx = X - jnp.maximum(X - C - Gt, 0.0)
+    kkt_x = jnp.linalg.norm(Rx.ravel())
+    return kkt_x, kkt_y, kkt_z, kkt_l

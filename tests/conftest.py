@@ -1,0 +1,31 @@
+"""Test configuration: run everything on a virtual 8-device CPU mesh with
+fp64 enabled, so distributed code paths are exercised without TPU hardware
+(SURVEY.md section 4: host-platform device-count fakes)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env pins a TPU tunnel
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+
+REF = "/root/reference"
+
+
+@pytest.fixture(scope="session")
+def class1_fixture_path():
+    return os.path.join(REF, "Class1/InputData/data1-500.mat")
+
+
+@pytest.fixture(scope="session")
+def class2_fixture_path():
+    return os.path.join(REF, "Class2/InputData/data4-500.mat")
