@@ -1,0 +1,170 @@
+"""Preconditioned conjugate gradients (layer L2).
+
+Shewchuk-style PCG as in reference ``PCG.m:1-6,76-86``: one operator
+application, one preconditioner application, two dots and three axpys per
+iteration, stopping on ``delta_new <= tol^2 * delta_0`` or ``maxit``.
+
+TPU-first redesign: the loop is a ``lax.while_loop`` over a small carry, so
+an entire solve is a single XLA computation — no per-iteration host sync.
+The operator and preconditioner are passed as *functions* (closures over
+whatever structure represents the matrix: masked-dense bipartite blocks,
+padded CSR, or an explicit dense array), which is how matrix-freedom is
+expressed in JAX instead of MATLAB's sparse-matrix polymorphism.
+
+The preconditioner menu of ``PCG.m:34-66`` is provided by
+:func:`make_preconditioner` for explicit dense matrices; structured callers
+build their own closures (e.g. the closed-form bi-SSOR inverse for the
+bipartite Laplacian lives in :mod:`otamg.sparse.bipartite`).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from otamg.config import PCGOptions, Preconditioner
+
+
+class PCGResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array      # int32 iterations taken
+    res: jax.Array        # final relative residual sqrt(delta_new/delta_0)
+
+
+def pcg(matvec: Callable[[jax.Array], jax.Array],
+        e: jax.Array,
+        precond: Callable[[jax.Array], jax.Array] | None = None,
+        x0: jax.Array | None = None,
+        retol: float = 1e-11,
+        maxit: int = 10_000) -> PCGResult:
+    """Solve ``H d = e`` for SPD ``H`` given as a matvec closure.
+
+    Matches the reference loop ``PCG.m:69-88`` (including the
+    ``delta_new > tol^2 * delta_0`` stopping rule measured in the
+    preconditioner norm).
+    """
+    if precond is None:
+        precond = lambda r: r
+    if x0 is None:
+        x0 = jnp.zeros_like(e)
+
+    r0 = e - matvec(x0)
+    p0 = precond(r0)
+    delta0 = jnp.vdot(r0, p0)
+    # Guard: delta0 == 0 means x0 is exact; loop below then never runs.
+    safe_delta0 = jnp.where(delta0 == 0, 1.0, delta0)
+
+    def cond(carry):
+        it, d, r, p, delta_new = carry
+        return jnp.logical_and(it < maxit,
+                               delta_new > (retol ** 2) * delta0)
+
+    def body(carry):
+        it, d, r, p, delta_old = carry
+        q = matvec(p)
+        alpha = delta_old / jnp.vdot(q, p)
+        d = d + alpha * p
+        r = r - alpha * q
+        w = precond(r)
+        delta_new = jnp.vdot(r, w)
+        beta = delta_new / delta_old
+        p = w + beta * p
+        return it + 1, d, r, p, delta_new
+
+    it, d, r, p, delta_new = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, p0, delta0))
+    res = jnp.sqrt(jnp.abs(delta_new / safe_delta0))
+    return PCGResult(d, it, res)
+
+
+def _tri_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.scipy.linalg.solve_triangular(L, b, lower=True)
+
+
+def _tri_solve_upper(U: jax.Array, b: jax.Array) -> jax.Array:
+    return jax.scipy.linalg.solve_triangular(U, b, lower=False)
+
+
+def make_preconditioner(H: jax.Array, which: Preconditioner,
+                        omega: float = 1.5,
+                        nf: int | None = None
+                        ) -> Callable[[jax.Array], jax.Array]:
+    """Build ``r -> M^{-1} r`` for an explicit dense SPD ``H``
+    (reference ``PCG.m:34-66`` and ``pre_cond_M`` at ``:90-105``).
+
+    * NONE   — identity.
+    * JACOBI — divide by ``diag(H)`` (reference default, ``PCG.m:23``).
+    * SSOR   — ``omega*(2-omega) * (D+omega*U)^{-1} D (D+omega*L)^{-1}``
+      via two dense triangular solves (``PCG.m:96-99``).
+    * ICHOL  — zero-fill incomplete Cholesky.  On TPU a dense Cholesky of
+      the (small, dense) coarse matrices is both faster and stronger, so
+      we use the *complete* factor; the reference only reaches this branch
+      when ``precd=4`` is hand-selected (``PCG.m:46``, never by defaults).
+    * BI_SSOR — the explicit bipartite-SSOR inverse (``PCG.m:55-66``)
+      requires the fine-node split ``nf``; built here densely.
+    """
+    n = H.shape[0]
+    if which == Preconditioner.NONE:
+        return lambda r: r
+    if which == Preconditioner.JACOBI:
+        dinv = 1.0 / jnp.diag(H)
+        return lambda r: r * dinv
+    if which == Preconditioner.SSOR:
+        D = jnp.diag(jnp.diag(H))
+        L = jnp.tril(H, -1)
+        U = jnp.triu(H, 1)
+        DL = D + omega * L
+        DU = D + omega * U
+        scale = omega * (2.0 - omega)
+
+        def apply_ssor(r):
+            p1 = _tri_solve_lower(DL, r)
+            p2 = jnp.diag(H) * p1
+            return scale * _tri_solve_upper(DU, p2)
+
+        return apply_ssor
+    if which == Preconditioner.ICHOL:
+        Lc = jnp.linalg.cholesky(H)
+
+        def apply_chol(r):
+            y = _tri_solve_lower(Lc, r)
+            return _tri_solve_upper(Lc.T, y)
+
+        return apply_chol
+    if which == Preconditioner.BI_SSOR:
+        if nf is None:
+            raise ValueError("BI_SSOR requires the fine-node count nf "
+                             "(reference PCG.m:67 errors likewise)")
+        V = jnp.diag(H)[:nf]
+        T = jnp.diag(H)[nf:]
+        U = H[:nf, nf:]
+        invV = 1.0 / V
+        invT = 1.0 / T
+        scale = omega * (2.0 - omega)
+
+        def apply_bissor(r):
+            r1, r2 = r[:nf], r[nf:]
+            # [invV + w^2 invV U invT U' invV, -w invV U invT;
+            #  -w invT U' invV,                 invT]
+            Ut_invV_r1 = U.T @ (invV * r1)
+            p1 = invV * r1 + (omega ** 2) * invV * (U @ (invT * Ut_invV_r1)) \
+                - omega * invV * (U @ (invT * r2))
+            p2 = -omega * invT * Ut_invV_r1 + invT * r2
+            return scale * jnp.concatenate([p1, p2])
+
+        return apply_bissor
+    raise ValueError(f"unknown preconditioner {which}")
+
+
+def pcg_matrix(H: jax.Array, e: jax.Array,
+               opts: PCGOptions = PCGOptions(),
+               x0: jax.Array | None = None,
+               nf: int | None = None) -> PCGResult:
+    """Reference-shaped entry ``[d, it, res] = PCG(H, e, pcg_options)`` for
+    an explicit dense matrix (``PCG.m:1``)."""
+    matvec = lambda v: H @ v
+    precond = make_preconditioner(H, opts.precd, opts.omega, nf)
+    return pcg(matvec, e, precond, x0, opts.retol, opts.maxit)

@@ -1,0 +1,300 @@
+"""APD + SsN outer optimizer (layer L6) for problem Class 1.
+
+Reimplements the inexact accelerated primal-dual loop with semismooth-
+Newton inner solves inlined in the reference driver
+(``Class1/APD_SsN_Class1.m:101-275``): momentum schedule, adaptive SsN
+inexactness, active-set Jacobian, Armijo backtracking on the dual merit,
+stagnation breaks, extrapolation and the random-restart heuristic.
+
+TPU-first structure: one jitted ``outer_step`` contains the *entire* APD
+iteration — the SsN loop and the Armijo line search are
+``lax.while_loop``s, the Newton solve is a closure (PCG here; AMG in
+:mod:`otamg.hybrid`), and the plan never leaves the device.  The Python
+driver only sequences the <=100 outer iterations and collects metrics.
+
+Line-search redesign (same math, fewer flops): along ``lam_old + step *
+zeta`` the O(mn) map ``A^T lam`` is affine in ``step``, so we precompute
+``A^T zeta`` once and each backtrack costs one fused VPU pass instead of
+the reference's repeated ``Aty`` GEMVs (``Class1/APD_SsN_Class1.m:191,202``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from otamg.config import APDOptions
+from otamg.opt.admm import warmup_class1
+from otamg.opt.newton import NewtonSolveResult, NewtonSolver, make_pcg_solver
+from otamg.ot import operators as op
+from otamg.ot.problems import Class1Problem
+
+
+class _SsnCarry(NamedTuple):
+    it: jax.Array         # iterations completed
+    lam: jax.Array        # current dual iterate (lam_new)
+    Zk: jax.Array         # (m, n) z(lam) — prox argument
+    nFk: jax.Array        # ||F(lam)||
+    anchor: jax.Array     # Fk_res print anchor (kept for parity/debug)
+    done: jax.Array
+    it_min: jax.Array     # inner-solver iteration stats
+    it_sum: jax.Array
+    it_max: jax.Array
+    fail: jax.Array       # # inner solves that hit maxit (FailAMG analogue)
+    key: jax.Array
+
+
+class OuterMetrics(NamedTuple):
+    kkt_x: jax.Array
+    kkt_l: jax.Array
+    fxk: jax.Array
+    ssn_it: jax.Array
+    it_min: jax.Array
+    it_avg: jax.Array
+    it_max: jax.Array
+    fail: jax.Array
+    restarted: jax.Array
+
+
+@dataclasses.dataclass
+class SolveResult:
+    X: Any
+    lam: Any
+    converged: bool
+    iters: int
+    kkt_x: np.ndarray          # raw norms, index 0 = warm start
+    kkt_l: np.ndarray
+    fxk: np.ndarray
+    ssn_itnum: np.ndarray
+    solver_itnum: np.ndarray   # (iters, 3) min/avg/max, -1 where unset
+    restarts: np.ndarray
+    fail_count: int
+    wall_time: float
+
+
+def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool):
+    """Dual merit for the Armijo search (``Class1/APD_SsN_Class1.m:182-189``).
+
+    For prob < 3 (``gama = inf``): ``f0 + tk/2 ||prox(z)||^2``;
+    for capacity-constrained problems: ``f0 + tk/2 (||z||^2 -
+    ||z - prox(z)||^2)`` — identical when ``gama = inf``.
+    """
+    f0 = bk1 / 2 * jnp.vdot(lam, lam) - jnp.vdot(wlk, lam)
+    if capacitated:
+        PZ = op.prox_box(Zk, gama)
+        return f0 + 0.5 * tk * (jnp.vdot(Zk, Zk)
+                                - jnp.vdot(Zk - PZ, Zk - PZ))
+    PZ = op.prox_box(Zk, gama)
+    return f0 + 0.5 * tk * jnp.vdot(PZ, PZ)
+
+
+def make_class1_step(prob: Class1Problem, opts: APDOptions,
+                     solver: NewtonSolver | None = None,
+                     capacitated: bool | None = None):
+    """Build the jitted APD outer step ``(k, X, V, lam, bk, key,
+    resk_prev) -> (X, V, lam, bk, key, metrics)``."""
+    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
+    b = prob.b
+    dtype = C.dtype
+    if solver is None:
+        solver = make_pcg_solver(p, q, opts.pcg)
+    if capacitated is None:
+        capacitated = bool(np.any(np.isfinite(np.asarray(prob.gama))))
+    nm = prob.n + prob.m
+    zeros_t = jnp.zeros(nm, dtype)
+
+    kkt0 = None  # closed over lazily by the driver via normalizers argument
+
+    def ssn_solve(Wk, wlk, lam0, bk1, tk, ssn_tol, key):
+        """The SsN while-loop (``Class1/APD_SsN_Class1.m:137-238``)."""
+
+        def F_of(lam, Zk):
+            return bk1 * lam - op.apply_A(op.prox_box(Zk, gama), p, q) - wlk
+
+        Z0 = (Wk - op.apply_At(lam0, p, q)) / tk
+        nF0 = jnp.linalg.norm(F_of(lam0, Z0))
+        big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+        init = _SsnCarry(jnp.int32(0), lam0, Z0, nF0, nF0,
+                         nF0 <= ssn_tol, big, jnp.int32(0), jnp.int32(0),
+                         jnp.int32(0), key)
+
+        def cond(c: _SsnCarry):
+            return jnp.logical_not(c.done)
+
+        def body(c: _SsnCarry) -> _SsnCarry:
+            lam_old = c.lam
+            At_lam = op.apply_At(lam_old, p, q)
+            Zk_old = (Wk - At_lam) / tk
+            S = jnp.logical_and(Zk_old >= 0, Zk_old <= gama).astype(dtype)
+            Fk_old = F_of(lam_old, Zk_old)
+            nFk_old = jnp.linalg.norm(Fk_old)
+            key, sub = jax.random.split(c.key)
+            sol = solver(S, zeros_t, bk1, tk, -Fk_old, sub)
+            zeta = sol.zeta
+            # --- Armijo backtracking (:182-211), affine in `step` ---
+            At_zeta = op.apply_At(zeta, p, q)
+            cF_old = _merit(lam_old, Zk_old, wlk, bk1, tk, gama, capacitated)
+            ress = jnp.abs(jnp.vdot(Fk_old, zeta))
+
+            def trial(step):
+                lam_t = lam_old + step * zeta
+                Z_t = (Wk - At_lam - step * At_zeta) / tk
+                return lam_t, Z_t, _merit(lam_t, Z_t, wlk, bk1, tk, gama,
+                                          capacitated)
+
+            lam_t, Z_t, cF_new = trial(jnp.asarray(1.0, dtype))
+
+            def ls_cond(carry):
+                ll, step, lam_t, Z_t, cF_new = carry
+                return jnp.logical_and(cF_new > cF_old - opts.nu * step * ress,
+                                       ll < opts.ll_max)
+
+            def ls_body(carry):
+                ll, step, *_ = carry
+                step = step * opts.delta
+                lam_t, Z_t, cF_new = trial(step)
+                return ll + 1, step, lam_t, Z_t, cF_new
+
+            ll, step, lam_new, Z_new, cF_new = lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.int32(0), jnp.asarray(1.0, dtype), lam_t, Z_t, cF_new))
+
+            Fk_new = F_of(lam_new, Z_new)
+            nFk_new = jnp.linalg.norm(Fk_new)
+            it = c.it + 1
+            # Break conditions of :213-231: converged, stagnated, budget.
+            done = (nFk_new <= ssn_tol)
+            done = jnp.logical_or(
+                done, jnp.abs(nFk_old - nFk_new) < ssn_tol / 100)
+            done = jnp.logical_or(done, it >= opts.ssn_maxit)
+            anchor = jnp.where(c.anchor / nFk_new >= 2, nFk_new, c.anchor)
+            return _SsnCarry(
+                it, lam_new, Z_new, nFk_new, anchor, done,
+                jnp.minimum(c.it_min, sol.iters),
+                c.it_sum + sol.iters,
+                jnp.maximum(c.it_max, sol.iters),
+                c.fail + (sol.iters >= _solver_maxit).astype(jnp.int32),
+                key)
+
+        # maxit of the inner solver, to count FailAMG-style budget hits
+        # (``Class1/APD_SsN_Class1.m:163-166``).
+        _solver_maxit = jnp.int32(
+            opts.amg.maxit if opts.inner_solver.name in ("AMG", "TWOGRID")
+            else opts.pcg.maxit)
+        return lax.while_loop(cond, body, init)
+
+    def outer_step(k, X, V, lam, bk, key, resk_prev, kkt_norm0):
+        """One APD iteration (``Class1/APD_SsN_Class1.m:101-275``)."""
+        kf = k.astype(dtype)
+        ak = jnp.sqrt(kf ** 2 * bk)
+        bk1 = bk / (1 + ak)
+        tk = bk * (1 + ak) / ak ** 2
+        ssn_tol = jnp.maximum(bk1 / kf ** 2, opts.ssn_tol1)
+        Wk = -C + bk * (X + ak * V) / ak ** 2
+        wlk = bk1 * (lam - (op.apply_A(X, p, q) - b) / bk) - b
+
+        key, sub = jax.random.split(key)
+        ssn = ssn_solve(Wk, wlk, lam, bk1, tk, ssn_tol, sub)
+
+        lam1 = ssn.lam
+        X1 = op.prox_box(ssn.Zk, gama)
+        V1 = X1 + (X1 - X) / ak
+
+        # Restart heuristic (:241-249): compare the *normalized* new KKT
+        # residual to the *raw* previous one, exactly as the reference does.
+        kx1, kl1 = op.kkt_class1(X1, lam1, C, b, p, q, gama)
+        rr = jnp.maximum(kx1 / (1 + kkt_norm0[0]), kl1 / (1 + kkt_norm0[1]))
+        key, sub = jax.random.split(key)
+        restart = jnp.logical_and(bk1 < opts.restart_bk_floor, rr > resk_prev)
+        bk1 = jnp.where(restart, jax.random.uniform(sub, dtype=dtype), bk1)
+        X1 = jnp.where(restart, X, X1)
+        lam1 = jnp.where(restart, lam, lam1)
+        V1 = jnp.where(restart, X, V1)
+
+        # Final residual record (:253-254) at the possibly-reverted state.
+        kx, kl = op.kkt_class1(X1, lam1, C, b, p, q, gama)
+        fxk = jnp.vdot(C, X1)
+        avg = jnp.where(ssn.it > 0, ssn.it_sum // jnp.maximum(ssn.it, 1), -1)
+        metrics = OuterMetrics(
+            kkt_x=kx, kkt_l=kl, fxk=fxk, ssn_it=ssn.it,
+            it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
+            it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
+            fail=ssn.fail, restarted=restart)
+        return X1, V1, lam1, bk1, key, metrics
+
+    return jax.jit(outer_step)
+
+
+def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
+                 solver: NewtonSolver | None = None,
+                 warm: tuple | None = None,
+                 verbose: bool = False) -> SolveResult:
+    """End-to-end Class-1 solve: A-ADMM warm start + APD-SsN to the
+    relative KKT tolerance (``KKT_Tol = 1e-6``,
+    ``Class1/APD_SsN_Class1.m:35,264-268``)."""
+    t0 = time.perf_counter()
+    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
+    b = prob.b
+    dtype = C.dtype
+
+    if warm is None:
+        ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()
+        X, lam = ws.X, ws.lam
+    else:
+        X, lam = warm
+    V = X
+
+    kx0, kl0 = op.kkt_class1(X, lam, C, b, p, q, gama)
+    kx0 = float(kx0)
+    kl0 = float(kl0)
+    kkt_norm0 = jnp.asarray([kx0, kl0], dtype)
+
+    step = make_class1_step(prob, opts, solver)
+    key = jax.random.PRNGKey(opts.seed)
+    bk = jnp.asarray(1.0, dtype)
+
+    kkt_x = [kx0]
+    kkt_l = [kl0]
+    fxk = [float(jnp.vdot(C, X))]
+    ssn_itnum, solver_itnum, restarts = [], [], []
+    fail_total = 0
+    converged = False
+    k_final = opts.maxit
+
+    for k in range(1, opts.maxit + 1):
+        resk_prev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
+        X, V, lam, bk, key, mtr = step(
+            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_prev,
+            kkt_norm0)
+        kkt_x.append(float(mtr.kkt_x))
+        kkt_l.append(float(mtr.kkt_l))
+        fxk.append(float(mtr.fxk))
+        ssn_itnum.append(int(mtr.ssn_it))
+        solver_itnum.append((int(mtr.it_min), int(mtr.it_avg),
+                             int(mtr.it_max)))
+        restarts.append(bool(mtr.restarted))
+        fail_total += int(mtr.fail)
+        rr = max(kkt_x[-1] / (1 + kx0), kkt_l[-1] / (1 + kl0))
+        if verbose:
+            print(f"APD it={k:3d} kkt_x={kkt_x[-1]:.2e} "
+                  f"kkt_l={kkt_l[-1]:.2e} fk={fxk[-1]:.6e} "
+                  f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
+                  + (" RESTART" if restarts[-1] else ""))
+        if rr <= opts.kkt_tol:
+            converged = True
+            k_final = k
+            break
+
+    return SolveResult(
+        X=X, lam=lam, converged=converged, iters=k_final,
+        kkt_x=np.asarray(kkt_x), kkt_l=np.asarray(kkt_l),
+        fxk=np.asarray(fxk), ssn_itnum=np.asarray(ssn_itnum),
+        solver_itnum=np.asarray(solver_itnum),
+        restarts=np.asarray(restarts), fail_count=fail_total,
+        wall_time=time.perf_counter() - t0)
