@@ -1,0 +1,15 @@
+from otamg.amg.graph import (  # noqa: F401
+    connected_components_bipartite,
+    mis_dense,
+    strength_dense,
+)
+from otamg.amg.hierarchy import (  # noqa: F401
+    AMGSolveResult,
+    BipartiteLevel,
+    DenseLevel,
+    amg_solve,
+    bip_matvec,
+    capacity_schedule,
+    make_cycle,
+    setup_hierarchy,
+)

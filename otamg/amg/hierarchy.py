@@ -1,0 +1,455 @@
+"""AMG hierarchy: setup, cycles and the classical solve loop (layer L3).
+
+Reimplements the reference engine (``AMG/Class_AMG.m``, ``AMG/transfer.m``,
+``AMG/MG_Vcycle.m``, ``AMG/MG_Wcycle.m``) with a TPU-native structure:
+
+* **Level 1 is structured, not sparse.**  The fine operator is
+  ``Ae = diag(g) - E/tk`` on the bipartite node set (q-side then p-side),
+  where ``E`` is the ``(m, n)`` masked-dense edge-weight matrix
+  ``E_ij = p_i^2 q_j^2 s_ij``.  Matvecs, the block Gauss-Seidel smoother
+  (``Class_AMG.m:48-59``) and the level-1 ideal interpolation
+  (``transfer.m:19-25``) are all GEMV/GEMM on ``E`` — MXU work, no CSR.
+* **Coarse levels are capacity-padded dense.**  MIS coarsening yields
+  data-dependent sizes; each level has a *static* capacity
+  (``ceil(ratio * prev)``) with an activity mask, padded entries carry an
+  identity diagonal.  Every shape is static, so the whole setup + solve
+  compiles once.
+* **One hierarchy for all graph components.**  Instead of the reference's
+  per-component sub-AMGs (``Hybrid_AMG.m:53-81``), the kernel-projected
+  smoothing of ``MG_Vcycle.m:14-21`` is generalized to *per-component*
+  scalar corrections via segment reductions over component labels — the
+  same math applied to every component simultaneously, with the
+  correction coefficient zeroed on components that are not near-singular.
+* **Cycles run off a static visit tape.**  The V/W-cycle recursion is
+  unrolled at trace time into a sequence of (op, level) codes executed by
+  ``lax.scan`` + ``lax.switch``; trace size is O(levels), runtime equals
+  the recursive schedule (a W-cycle's second child visit is warm-started
+  exactly as ``MG_Wcycle.m:28-30``; the duplicate coarsest-level solve the
+  reference performs — its warm start is ignored there — is deduplicated).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import NamedTuple, Sequence
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from otamg.amg.graph import mis_dense, strength_dense
+from otamg.config import AMGOptions, Cycle
+from otamg.krylov.pcg import pcg
+
+_P = lax.Precision.HIGHEST
+
+
+def _mm(a, b):
+    return jnp.matmul(a, b, precision=_P)
+
+
+class BipartiteLevel(NamedTuple):
+    """Finest level: ``A = diag(g) - E/tk`` over n q-side + m p-side nodes."""
+
+    E: jax.Array        # (m, n) nonnegative edge weights
+    g: jax.Array        # (n + m,) diagonal
+    inv_tk: jax.Array   # scalar 1/tk
+    W: jax.Array        # (n, m) ideal-interpolation block to level 2
+    labels: jax.Array   # (n + m,) component labels
+    nsp: jax.Array      # (n + m,) near-singular-component mask
+    Axi: jax.Array      # (n + m,) A @ 1 (for kernel-projected smoothing)
+    xx: jax.Array       # (n + m,) per-node gathered xi^T A xi of component
+
+
+class DenseLevel(NamedTuple):
+    A: jax.Array        # (c, c) padded dense operator (identity on padding)
+    active: jax.Array   # (c,) bool
+    P: jax.Array        # (c_prev, c) prolongation from previous level
+    labels: jax.Array   # (c,) component labels (original fine node ids)
+    nsp: jax.Array      # (c,) bool
+    Axi: jax.Array      # (c,)
+    xx: jax.Array       # (c,)
+
+
+Hierarchy = tuple  # (BipartiteLevel, tuple[DenseLevel, ...])
+
+
+# ---------------------------------------------------------------------------
+# Level operations
+# ---------------------------------------------------------------------------
+
+
+def bip_matvec(lv: BipartiteLevel, v: jax.Array) -> jax.Array:
+    n = lv.W.shape[0]
+    v1, v2 = v[:n], v[n:]
+    out1 = lv.g[:n] * v1 - lv.inv_tk * _mm(lv.E.T, v2)
+    out2 = lv.g[n:] * v2 - lv.inv_tk * _mm(lv.E, v1)
+    return jnp.concatenate([out1, out2])
+
+
+def bip_smooth_apply(lv: BipartiteLevel, r: jax.Array,
+                     transpose: bool) -> jax.Array:
+    """Block Gauss-Seidel ``R^{-1}`` (or its transpose) for the bigraph
+    split (``Class_AMG.m:48-59``): with ``V = diag(g1)``, ``U = -E^T/tk``,
+    ``T = diag(g2)``, ``R^{-1} = [[V^{-1}, 0], [-T^{-1} U^T V^{-1},
+    T^{-1}]]``."""
+    n = lv.W.shape[0]
+    r1, r2 = r[:n], r[n:]
+    g1, g2 = lv.g[:n], lv.g[n:]
+    if not transpose:
+        e1 = r1 / g1
+        e2 = (r2 + lv.inv_tk * _mm(lv.E, e1)) / g2
+    else:
+        e2 = r2 / g2
+        e1 = (r1 + lv.inv_tk * _mm(lv.E.T, e2)) / g1
+    return jnp.concatenate([e1, e2])
+
+
+def dense_matvec(lv: DenseLevel, v: jax.Array) -> jax.Array:
+    return _mm(lv.A, v)
+
+
+def dense_smooth_apply(lv: DenseLevel, r: jax.Array,
+                       transpose: bool) -> jax.Array:
+    """Weighted Jacobi ``R^{-1} = 0.5 diag(A)^{-1}`` (``Class_AMG.m:72,84``;
+    symmetric, so the transpose is identical)."""
+    del transpose
+    return 0.5 * r / jnp.diag(lv.A)
+
+
+def _projected_smooth(matvec, smooth_apply, lv, e, r, smoth_it: int,
+                      transpose: bool, nseg: int):
+    """``smoth_it`` sweeps of (per-component kernel-projected) smoothing.
+
+    Generalizes ``MG_Vcycle.m:14-24``: on each sweep the residual's mean
+    over every near-singular component is corrected exactly along the
+    component's constant vector, via segment sums keyed on component
+    labels; components that are not near-singular get a zero coefficient,
+    reducing to the plain sweep ``e += R (r - A e)``.
+    """
+    xi = lv.nsp.astype(r.dtype)  # project only on near-singular components
+    safe_xx = jnp.where(jnp.abs(lv.xx) > 0, lv.xx, 1.0)
+
+    def sweep(_, e):
+        g = r - matvec(lv, e)
+        xig = jax.ops.segment_sum(g * xi, lv.labels, num_segments=nseg)
+        coef = jnp.where(lv.nsp, xig[lv.labels] / safe_xx, 0.0)
+        ghat = xi * coef + smooth_apply(lv, g - lv.Axi * coef, transpose)
+        return e + ghat
+
+    return lax.fori_loop(0, smoth_it, sweep, e)
+
+
+# ---------------------------------------------------------------------------
+# Setup
+# ---------------------------------------------------------------------------
+
+
+def _coarse_target(nfine: int) -> int:
+    """Reference depth rule: coarsen until level size
+    ``<= 1 + floor(N_fine^(1/3))`` (``Class_AMG.m:76``)."""
+    return 1 + int(math.floor(nfine ** (1.0 / 3.0)))
+
+
+def capacity_schedule(m: int, nfine: int, opts: AMGOptions) -> list[int]:
+    """Static per-level capacities for the dense levels (level 2 is exactly
+    the p-side size ``m``; deeper levels shrink by ``coarsen_ratio``)."""
+    caps = [m]
+    target = _coarse_target(nfine)
+    while caps[-1] > target and len(caps) < opts.max_levels - 1:
+        caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
+    return caps
+
+
+def _component_xx(matvec, lv_partial, active_f, labels, nseg):
+    Axi = matvec(lv_partial, active_f)
+    xx = jax.ops.segment_sum(active_f * Axi, labels, num_segments=nseg)
+    return Axi, xx[labels]
+
+
+def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
+                    labels: jax.Array, nsp: jax.Array,
+                    opts: AMGOptions, key: jax.Array) -> Hierarchy:
+    """Build the full hierarchy for ``Ae = diag(g) - E/tk``.
+
+    ``labels``/``nsp`` come from the hybrid layer's component analysis.
+    Mirrors the setup phase of ``Class_AMG.m:41-85`` with the level-1
+    bigraph ideal interpolation of ``transfer.m:19-25`` and MIS/standard
+    interpolation (effective ``W1 + 0.5 W2`` — see ``transfer.m:49-56``'s
+    always-true guard) on coarser levels.
+    """
+    m, n = E.shape
+    N = n + m
+    dtype = E.dtype
+    nseg = N
+
+    # --- level 1: ideal interpolation W = -Aff^{-1} Afc = diag(1/g1) E^T/tk
+    g1 = g[:n]
+    W = (E.T / g1[:, None]) * inv_tk
+    # isnsp row-normalization (transfer.m:22-24), per near-singular node.
+    rowsum = jnp.sum(W, axis=1)
+    norm_mask = jnp.logical_and(nsp[:n], jnp.abs(rowsum) > 0)
+    W = jnp.where(norm_mask[:, None],
+                  W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
+
+    lv1_partial = BipartiteLevel(E, g, jnp.asarray(inv_tk, dtype), W,
+                                 labels, nsp,
+                                 jnp.zeros(N, dtype), jnp.ones(N, dtype))
+    ones_fine = jnp.ones(N, dtype)
+    Axi1 = bip_matvec(lv1_partial, ones_fine)
+    xx1 = jax.ops.segment_sum(Axi1, labels, num_segments=nseg)[labels]
+    lv1 = lv1_partial._replace(Axi=Axi1, xx=xx1)
+
+    # --- level 2: Galerkin P^T Ae P with P = [W; I]  (m x m dense)
+    G1W = g1[:, None] * W
+    A2 = _mm(W.T, G1W) - inv_tk * _mm(W.T, E.T) - inv_tk * _mm(E, W) \
+        + jnp.diag(g[n:])
+    A2 = 0.5 * (A2 + A2.T)
+    active2 = jnp.ones(m, bool)
+    labels2 = labels[n:]
+    nsp2 = nsp[n:]
+
+    caps = capacity_schedule(m, N, opts)
+    dense_levels = []
+    A_cur, act_cur, lab_cur, nsp_cur = A2, active2, labels2, nsp2
+    P_cur = jnp.zeros((0, 0), dtype)  # unused for level 2
+
+    for li, cap in enumerate(caps):
+        lvd_partial = DenseLevel(A_cur, act_cur, P_cur, lab_cur, nsp_cur,
+                                 jnp.zeros(cap, dtype), jnp.ones(cap, dtype))
+        xi = act_cur.astype(dtype)
+        Axi = dense_matvec(lvd_partial, xi)
+        xx = jax.ops.segment_sum(xi * Axi, lab_cur, num_segments=nseg)
+        lvd = lvd_partial._replace(Axi=Axi, xx=xx[lab_cur])
+        dense_levels.append(lvd)
+        if li == len(caps) - 1:
+            break
+        cap_next = caps[li + 1]
+        key, sub = jax.random.split(key)
+        (A_cur, act_cur, lab_cur, nsp_cur, P_cur) = _coarsen_dense(
+            A_cur, act_cur, lab_cur, nsp_cur, cap_next, opts, sub)
+
+    return lv1, tuple(dense_levels)
+
+
+def _coarsen_dense(A, active, labels, nsp, cap_next: int,
+                   opts: AMGOptions, key: jax.Array):
+    """One MIS + standard-interpolation + Galerkin coarsening step
+    (``transfer.m:41-66``) on a padded dense level."""
+    c = A.shape[0]
+    dtype = A.dtype
+    Sval = strength_dense(A, active)
+    As = Sval >= opts.theta
+    isC, isF = mis_dense(As, active, key)
+
+    dinv = 1.0 / jnp.diag(A)
+    fc_mask = jnp.logical_and(isF[:, None], isC[None, :])
+    W1 = jnp.where(fc_mask, -A * dinv[:, None], 0.0)
+    if opts.inter >= 2:
+        # Ideal interpolation: W = -Aff^{-1} Afc on the F subsystem.
+        ff = jnp.logical_and(isF[:, None], isF[None, :])
+        Aff = jnp.where(ff, A, 0.0) + jnp.diag(
+            jnp.logical_not(isF).astype(dtype))
+        Afc = jnp.where(fc_mask, A, 0.0)
+        W = -jnp.linalg.solve(Aff, Afc)
+        W = jnp.where(isF[:, None], W, 0.0) * isC[None, :]
+    else:
+        # Standard interpolation; the reference's always-true guard makes
+        # the effective weight 0.5 regardless of `inter` (transfer.m:54-56).
+        strong_ff = jnp.logical_and(
+            As, jnp.logical_and(isF[:, None], isF[None, :]))
+        AFFs = jnp.where(strong_ff, A, 0.0) + jnp.diag(
+            jnp.where(isF, jnp.diag(A), 0.0))
+        W2 = -dinv[:, None] * _mm(AFFs, W1)
+        W = W1 + 0.5 * W2
+    # Near-null-space row normalization (transfer.m:60-62), per-node.
+    rowsum = jnp.sum(W, axis=1)
+    norm_mask = jnp.logical_and(jnp.logical_and(isF, nsp),
+                                jnp.abs(rowsum) > 1e-300)
+    W = jnp.where(norm_mask[:, None],
+                  W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
+
+    P_full = W + jnp.diag(isC.astype(dtype))
+    # Compact C columns to the static capacity (C nodes in index order);
+    # overflow beyond the capacity is demoted (rare — MIS targets N/2).
+    perm = jnp.argsort(jnp.logical_not(isC), stable=True)
+    colidx = perm[:cap_next]
+    numC = jnp.sum(isC)
+    keep = jnp.arange(cap_next) < numC
+    P = P_full[:, colidx] * keep[None, :].astype(dtype)
+    active_next = keep
+    labels_next = labels[colidx]
+    nsp_next = jnp.logical_and(nsp[colidx], active_next)
+    Ac = _mm(P.T, _mm(A, P))
+    Ac = 0.5 * (Ac + Ac.T)
+    Ac = Ac + jnp.diag(jnp.logical_not(active_next).astype(dtype))
+    return Ac, active_next, labels_next, nsp_next, P
+
+
+# ---------------------------------------------------------------------------
+# Cycles: static visit tape executed by scan + switch
+# ---------------------------------------------------------------------------
+
+
+def _gen_tape(num_levels: int, gamma: int) -> list[tuple[str, int]]:
+    """Unroll the (V: gamma=1 / W: gamma=2) cycle recursion into a static
+    (op, level) sequence.  Levels are 0 (bipartite) .. num_levels-1."""
+    ops: list[tuple[str, int]] = []
+    last = num_levels - 1
+
+    def visit(l: int) -> None:
+        if l == last:
+            ops.append(("coarse", l))
+            return
+        ops.append(("pre", l))
+        ops.append(("down", l))
+        visit(l + 1)
+        if gamma == 2 and l + 1 != last:
+            visit(l + 1)  # warm-started revisit (MG_Wcycle.m:28-30)
+        ops.append(("up", l))
+
+    visit(0)
+    return ops
+
+
+def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
+               coarse_retol: float = 1e-11, coarse_maxit: int = 10_000):
+    """Build ``cycle(lv1, dense_levels, r) -> e`` executing one V/W cycle.
+
+    The tape is static; the scan body is a ``lax.switch`` over the
+    distinct (op, level) pairs, so each op is traced exactly once.
+    """
+    num_levels = num_dense + 1
+    tape = _gen_tape(num_levels, gamma)
+    op_ids = sorted(set(tape))
+    id_of = {op: i for i, op in enumerate(op_ids)}
+    tape_codes = jnp.asarray([id_of[t] for t in tape], jnp.int32)
+
+    def cycle(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
+              r0: jax.Array):
+        n_plus_m = r0.shape[0]
+        dtype = r0.dtype
+        levels = [lv1] + list(dense)
+
+        def lvl_matvec(l, v):
+            return bip_matvec(levels[l], v) if l == 0 \
+                else dense_matvec(levels[l], v)
+
+        def lvl_smooth(l, e, r, transpose):
+            if l == 0:
+                return _projected_smooth(bip_matvec, bip_smooth_apply,
+                                         levels[l], e, r, smoth_it,
+                                         transpose, nseg)
+            return _projected_smooth(dense_matvec, dense_smooth_apply,
+                                     levels[l], e, r, smoth_it,
+                                     transpose, nseg)
+
+        def restrict(l, rr):
+            # from level l to l+1
+            if l == 0:
+                n = lv1.W.shape[0]
+                return rr[n:] + _mm(lv1.W.T, rr[:n])
+            return _mm(levels[l + 1].P.T, rr)
+
+        def prolong(l, ec):
+            # from level l+1 back to l
+            if l == 0:
+                return jnp.concatenate([_mm(lv1.W, ec), ec])
+            return _mm(levels[l + 1].P, ec)
+
+        shapes = [n_plus_m] + [lv.A.shape[0] for lv in dense]
+        e0 = tuple(jnp.zeros(s, dtype) for s in shapes)
+        r_init = tuple(
+            r0 if i == 0 else jnp.zeros(s, dtype)
+            for i, s in enumerate(shapes))
+
+        def make_branch(op):
+            kind, l = op
+
+            def branch(carry):
+                es, rs = carry
+                es, rs = list(es), list(rs)
+                if kind == "pre":
+                    es[l] = lvl_smooth(l, es[l], rs[l], False)
+                elif kind == "down":
+                    rr = rs[l] - lvl_matvec(l, es[l])
+                    rs[l + 1] = restrict(l, rr)
+                    es[l + 1] = jnp.zeros_like(es[l + 1])
+                elif kind == "up":
+                    es[l] = es[l] + prolong(l, es[l + 1])
+                    es[l] = lvl_smooth(l, es[l], rs[l], True)
+                elif kind == "coarse":
+                    # Coarsest solve: Jacobi-PCG with the reference PCG
+                    # defaults (MG_Vcycle.m:43, PCG.m:18-27).
+                    lv = levels[l]
+                    if l == 0:
+                        dg = lv.g
+                        mv = lambda v: bip_matvec(lv, v)
+                    else:
+                        dg = jnp.diag(lv.A)
+                        mv = lambda v: dense_matvec(lv, v)
+                    res = pcg(mv, rs[l], lambda v: v / dg,
+                              retol=coarse_retol, maxit=coarse_maxit)
+                    es[l] = res.x
+                return tuple(es), tuple(rs)
+
+            return branch
+
+        branches = [make_branch(op) for op in op_ids]
+
+        def body(carry, code):
+            carry = lax.switch(code, branches, carry)
+            return carry, None
+
+        (es, _), _ = lax.scan(body, (e0, r_init), tape_codes)
+        return es[0]
+
+    return cycle
+
+
+# ---------------------------------------------------------------------------
+# Classical solve loop (Class_AMG.m:86-109)
+# ---------------------------------------------------------------------------
+
+
+class AMGSolveResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    rel_res: jax.Array
+
+
+def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
+              b: jax.Array, guess: jax.Array, opts: AMGOptions
+              ) -> AMGSolveResult:
+    """Stationary iteration ``x += cycle(b - A x)`` with relative-residual
+    stopping and the divergence guard ``rho_k > 1 -> break``
+    (``Class_AMG.m:95-106``)."""
+    nseg = b.shape[0]
+    gamma = 2 if opts.cycle == Cycle.W else 1
+    cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
+                       opts.coarse_pcg.retol, opts.coarse_pcg.maxit)
+
+    res0 = jnp.linalg.norm(b - bip_matvec(lv1, guess))
+    safe0 = jnp.where(res0 == 0, 1.0, res0)
+
+    def cond(c):
+        it, x, rel, rho, done = c
+        return jnp.logical_not(done)
+
+    def body(c):
+        it, x, rel, rho, _ = c
+        r = b - bip_matvec(lv1, x)
+        e = cycle(lv1, dense, r)
+        x = x + e
+        res = jnp.linalg.norm(b - bip_matvec(lv1, x))
+        rel_new = res / safe0
+        rho_new = res / jnp.linalg.norm(r)
+        it = it + 1
+        done = jnp.logical_or(rel_new <= opts.retol, it >= opts.maxit)
+        done = jnp.logical_or(done, rho_new > 1.0)
+        return it, x, rel_new, rho_new, done
+
+    init = (jnp.int32(0), guess, jnp.asarray(1.0, b.dtype),
+            jnp.asarray(0.0, b.dtype), res0 == 0)
+    it, x, rel, rho, _ = lax.while_loop(cond, body, init)
+    return AMGSolveResult(x, it, rel)

@@ -94,6 +94,32 @@ def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool):
     return f0 + 0.5 * tk * jnp.vdot(PZ, PZ)
 
 
+def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
+    """Dispatch the ``inner_solver`` menu
+    (``Class1/APD_SsN_Class1.m:66-71``)."""
+    from otamg.config import InnerSolver
+
+    if opts.inner_solver == InnerSolver.DIRECT:
+        from otamg.hybrid import make_direct_solver
+
+        return make_direct_solver(p, q)
+    if opts.inner_solver == InnerSolver.PCG:
+        return make_pcg_solver(p, q, opts.pcg)
+    if opts.inner_solver == InnerSolver.AUG_PCG:
+        from otamg.hybrid import make_aug_pcg_solver
+
+        return make_aug_pcg_solver(p, q, opts.pcg)
+    if opts.inner_solver == InnerSolver.AMG:
+        from otamg.hybrid import make_hybrid_amg_solver
+
+        return make_hybrid_amg_solver(p, q, opts.amg)
+    if opts.inner_solver == InnerSolver.TWOGRID:
+        from otamg.hybrid import make_hybrid_amg_solver
+
+        return make_hybrid_amg_solver(p, q, opts.amg, twogrid=True)
+    raise ValueError(f"unknown inner solver {opts.inner_solver}")
+
+
 def make_class1_step(prob: Class1Problem, opts: APDOptions,
                      solver: NewtonSolver | None = None,
                      capacitated: bool | None = None):
@@ -103,7 +129,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
     b = prob.b
     dtype = C.dtype
     if solver is None:
-        solver = make_pcg_solver(p, q, opts.pcg)
+        solver = make_solver_from_options(p, q, opts)
     if capacitated is None:
         capacitated = bool(np.any(np.isfinite(np.asarray(prob.gama))))
     nm = prob.n + prob.m
@@ -242,6 +268,9 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
     b = prob.b
     dtype = C.dtype
+
+    if solver is None:
+        solver = make_solver_from_options(p, q, opts)
 
     if warm is None:
         ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()

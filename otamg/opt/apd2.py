@@ -1,0 +1,342 @@
+"""APD + SsN outer optimizer for problem Class 2 (partial OT).
+
+Mirrors :mod:`otamg.opt.apd` for the three-block primal ``(x, y, z)`` and
+``(n+m+1)``-dimensional dual of ``Class2/APD_SsN_Class2.m:95-285``.
+Differences from Class 1, faithfully kept:
+
+* prox is the nonnegative projection (``:25``),
+* SsN floor tolerance 1e-10 (``:28``),
+* the stagnation break uses ``< SsN_Tol`` (not ``/100``; ``:223``),
+* restart sets ``bk1 = 10*bk1`` instead of a random draw (``:254``),
+* four KKT residuals (x, y, z, lambda; ``:56-59``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from otamg.config import APDOptions, InnerSolver
+from otamg.opt.admm import warmup_class2
+from otamg.opt.newton import NewtonSolver, make_pcg_solver
+from otamg.ot import operators as op
+from otamg.ot.problems import Class2Problem
+
+
+class _Ssn2Carry(NamedTuple):
+    it: jax.Array
+    lam: jax.Array
+    ZX: jax.Array       # (m, n) plan block of z(lam)
+    zs: jax.Array       # (n + m,) slack block of z(lam)
+    nFk: jax.Array
+    anchor: jax.Array
+    done: jax.Array
+    it_min: jax.Array
+    it_sum: jax.Array
+    it_max: jax.Array
+    fail: jax.Array
+    key: jax.Array
+
+
+class Outer2Metrics(NamedTuple):
+    kkt_x: jax.Array
+    kkt_y: jax.Array
+    kkt_z: jax.Array
+    kkt_l: jax.Array
+    fxk: jax.Array
+    ssn_it: jax.Array
+    it_min: jax.Array
+    it_avg: jax.Array
+    it_max: jax.Array
+    fail: jax.Array
+    restarted: jax.Array
+
+
+@dataclasses.dataclass
+class Solve2Result:
+    X: Any
+    y: Any
+    z: Any
+    lam: Any
+    converged: bool
+    iters: int
+    kkt: np.ndarray            # (iters+1, 4) raw norms [x, y, z, lam]
+    fxk: np.ndarray
+    ssn_itnum: np.ndarray
+    solver_itnum: np.ndarray
+    restarts: np.ndarray
+    fail_count: int
+    wall_time: float
+
+
+def make_pot_solver_from_options(p, q, Phi, opts: APDOptions) -> NewtonSolver:
+    from otamg.hybrid.pot import (
+        make_pot_amg_solver,
+        make_pot_direct_solver,
+        make_pot_pcg_solver,
+    )
+
+    if opts.inner_solver == InnerSolver.DIRECT:
+        return make_pot_direct_solver(p, q, Phi)
+    if opts.inner_solver == InnerSolver.PCG:
+        # Plain PCG on the full arrow system, matrix-free Jacobi.
+        return _make_arrow_pcg_solver(p, q, Phi, opts)
+    if opts.inner_solver == InnerSolver.AUG_PCG:
+        return make_pot_pcg_solver(p, q, Phi, opts.pcg)
+    if opts.inner_solver == InnerSolver.AMG:
+        return make_pot_amg_solver(p, q, Phi, opts.amg)
+    if opts.inner_solver == InnerSolver.TWOGRID:
+        return make_pot_amg_solver(p, q, Phi, opts.amg, twogrid=True)
+    raise ValueError(f"unknown inner solver {opts.inner_solver}")
+
+
+def _make_arrow_pcg_solver(p, q, Phi, opts: APDOptions) -> NewtonSolver:
+    """Matrix-free Jacobi-PCG on the full (n+m+1) arrow Jacobian
+    (``inner_solver=2``, ``Class2/APD_SsN_Class2.m:153-159``)."""
+    from otamg.krylov.pcg import pcg
+    from otamg.opt.newton import NewtonSolveResult
+
+    def solve(S, tvec, bk1, tk, rhs, key) -> NewtonSolveResult:
+        del key
+        d1, d2 = op.asat_diags(S, p, q)
+        SPhi = S * Phi
+        ss = op.apply_A(SPhi, p, q)
+        spp = jnp.vdot(Phi, SPhi)
+        diag = bk1 + jnp.concatenate(
+            [tvec + jnp.concatenate([d1, d2]), spp[None]]) / tk
+
+        def matvec(v):
+            v1, vlast = v[:-1], v[-1]
+            top = (tvec * v1 + op.apply_asat(v1, S, p, q, d1, d2)
+                   + vlast * ss) / tk
+            bot = (jnp.vdot(ss, v1) + spp * vlast) / tk
+            return bk1 * v + jnp.concatenate([top, bot[None]])
+
+        r = pcg(matvec, rhs, lambda v: v / diag,
+                retol=opts.pcg.retol, maxit=opts.pcg.maxit)
+        zero = jnp.int32(0)
+        return NewtonSolveResult(r.x, r.iters, r.res, zero, zero)
+
+    return solve
+
+
+def make_class2_step(prob: Class2Problem, opts: APDOptions,
+                     solver: NewtonSolver | None = None):
+    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
+    m, n = prob.m, prob.n
+    b = prob.b
+    dtype = C.dtype
+    if solver is None:
+        solver = make_pot_solver_from_options(p, q, Phi, opts)
+    solver_maxit = jnp.int32(
+        opts.amg.maxit if opts.inner_solver in
+        (InnerSolver.AMG, InnerSolver.TWOGRID) else opts.pcg.maxit)
+
+    def Hu(X, us):
+        return op.apply_H(X, us[:n], us[n:], p, q, Phi)
+
+    def ssn_solve(WX, ws, wlk, lam0, bk1, tk, ssn_tol, key):
+        """SsN loop (``Class2/APD_SsN_Class2.m:136-243``)."""
+
+        def z_of(lam):
+            HtX, Hts = op.apply_Ht(lam, p, q, Phi)
+            return (WX - HtX) / tk, (ws - Hts) / tk
+
+        def F_of(lam, ZX, zs):
+            PX = op.prox_nonneg(ZX)
+            ps = op.prox_nonneg(zs)
+            return bk1 * lam - Hu(PX, ps) - wlk
+
+        def merit(lam, ZX, zs):
+            f0 = bk1 / 2 * jnp.vdot(lam, lam) - jnp.vdot(wlk, lam)
+            PX = op.prox_nonneg(ZX)
+            ps = op.prox_nonneg(zs)
+            return f0 + 0.5 * tk * (jnp.vdot(PX, PX) + jnp.vdot(ps, ps))
+
+        ZX0, zs0 = z_of(lam0)
+        nF0 = jnp.linalg.norm(F_of(lam0, ZX0, zs0))
+        big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
+        init = _Ssn2Carry(jnp.int32(0), lam0, ZX0, zs0, nF0, nF0,
+                          nF0 <= ssn_tol, big, jnp.int32(0), jnp.int32(0),
+                          jnp.int32(0), key)
+
+        def cond(c):
+            return jnp.logical_not(c.done)
+
+        def body(c: _Ssn2Carry) -> _Ssn2Carry:
+            lam_old = c.lam
+            HtX_old, Hts_old = op.apply_Ht(lam_old, p, q, Phi)
+            ZX_old = (WX - HtX_old) / tk
+            zs_old = (ws - Hts_old) / tk
+            S = (ZX_old >= 0).astype(dtype)
+            tmask = (zs_old >= 0).astype(dtype)
+            Fk_old = F_of(lam_old, ZX_old, zs_old)
+            nFk_old = jnp.linalg.norm(Fk_old)
+            key, sub = jax.random.split(c.key)
+            sol = solver(S, tmask, bk1, tk, -Fk_old, sub)
+            zeta = sol.zeta
+            # Armijo (:199-231); H^T lam is affine in the step size.
+            HtzX, Htzs = op.apply_Ht(zeta, p, q, Phi)
+            cF_old = merit(lam_old, ZX_old, zs_old)
+            ress = jnp.abs(jnp.vdot(Fk_old, zeta))
+
+            def trial(step):
+                lam_t = lam_old + step * zeta
+                ZX_t = (WX - HtX_old - step * HtzX) / tk
+                zs_t = (ws - Hts_old - step * Htzs) / tk
+                return lam_t, ZX_t, zs_t, merit(lam_t, ZX_t, zs_t)
+
+            lam_t, ZX_t, zs_t, cF_new = trial(jnp.asarray(1.0, dtype))
+
+            def ls_cond(carry):
+                ll, step, *_, cF_new = carry
+                return jnp.logical_and(
+                    cF_new > cF_old - opts.nu * step * ress,
+                    ll < opts.ll_max)
+
+            def ls_body(carry):
+                ll, step, *_ = carry
+                step = step * opts.delta
+                lam_t, ZX_t, zs_t, cF_new = trial(step)
+                return ll + 1, step, lam_t, ZX_t, zs_t, cF_new
+
+            _, _, lam_new, ZX_new, zs_new, _ = lax.while_loop(
+                ls_cond, ls_body,
+                (jnp.int32(0), jnp.asarray(1.0, dtype), lam_t, ZX_t, zs_t,
+                 cF_new))
+
+            Fk_new = F_of(lam_new, ZX_new, zs_new)
+            nFk_new = jnp.linalg.norm(Fk_new)
+            it = c.it + 1
+            done = nFk_new <= ssn_tol
+            # Class2 stagnation uses the *full* tolerance (:223).
+            done = jnp.logical_or(done,
+                                  jnp.abs(nFk_old - nFk_new) < ssn_tol)
+            done = jnp.logical_or(done, it >= opts.ssn_maxit)
+            anchor = jnp.where(c.anchor / nFk_new >= 2, nFk_new, c.anchor)
+            return _Ssn2Carry(
+                it, lam_new, ZX_new, zs_new, nFk_new, anchor, done,
+                jnp.minimum(c.it_min, sol.iters), c.it_sum + sol.iters,
+                jnp.maximum(c.it_max, sol.iters),
+                c.fail + (sol.iters >= solver_maxit).astype(jnp.int32),
+                key)
+
+        return lax.while_loop(cond, body, init)
+
+    def outer_step(k, X, us, VX, vs, lam, bk, key, resk_prev, kkt_norm0):
+        kf = k.astype(dtype)
+        ak = jnp.sqrt(kf ** 2 * bk)
+        bk1 = bk / (1 + ak)
+        tk = bk * (1 + ak) / ak ** 2
+        ssn_tol = jnp.maximum(bk1 / kf ** 2, opts.ssn_tol1)
+        WX = -C + bk * (X + ak * VX) / ak ** 2
+        ws = bk * (us + ak * vs) / ak ** 2  # wc slack block is zero
+        wlk = bk1 * (lam - (Hu(X, us) - b) / bk) - b
+
+        key, sub = jax.random.split(key)
+        ssn = ssn_solve(WX, ws, wlk, lam, bk1, tk, ssn_tol, sub)
+
+        lam1 = ssn.lam
+        X1 = op.prox_nonneg(ssn.ZX)
+        us1 = op.prox_nonneg(ssn.zs)
+        VX1 = X1 + (X1 - X) / ak
+        vs1 = us1 + (us1 - us) / ak
+
+        kx, ky, kz, kl = op.kkt_class2(X1, us1[:n], us1[n:], lam1, C, b,
+                                       p, q, Phi)
+        rr = jnp.max(jnp.stack([kx, ky, kz, kl]) / (1 + kkt_norm0))
+        restart = jnp.logical_and(bk1 < opts.restart_bk_floor,
+                                  rr > resk_prev)
+        bk1 = jnp.where(restart, 10 * bk1, bk1)  # :254
+        X1 = jnp.where(restart, X, X1)
+        us1 = jnp.where(restart, us, us1)
+        lam1 = jnp.where(restart, lam, lam1)
+        VX1 = jnp.where(restart, X, VX1)
+        vs1 = jnp.where(restart, us, vs1)
+
+        kx, ky, kz, kl = op.kkt_class2(X1, us1[:n], us1[n:], lam1, C, b,
+                                       p, q, Phi)
+        fxk = jnp.vdot(C, X1)
+        avg = jnp.where(ssn.it > 0, ssn.it_sum // jnp.maximum(ssn.it, 1), -1)
+        metrics = Outer2Metrics(
+            kkt_x=kx, kkt_y=ky, kkt_z=kz, kkt_l=kl, fxk=fxk,
+            ssn_it=ssn.it,
+            it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
+            it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
+            fail=ssn.fail, restarted=restart)
+        return X1, us1, VX1, vs1, lam1, bk1, key, metrics
+
+    return jax.jit(outer_step)
+
+
+def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
+                 solver: NewtonSolver | None = None,
+                 verbose: bool = False) -> Solve2Result:
+    """End-to-end Class-2 solve to relative KKT <= 1e-6
+    (``Class2/APD_SsN_Class2.m:27,276-280``)."""
+    if opts is None:
+        opts = APDOptions(ssn_tol1=1e-10)  # Class-2 floor (:28)
+    t0 = time.perf_counter()
+    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
+    m, n = prob.m, prob.n
+    b = prob.b
+    dtype = C.dtype
+
+    ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
+    X, lam = ws.X, ws.lam
+    us = jnp.concatenate([ws.y, ws.z])
+    VX, vs = X, us
+
+    k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi)
+    kkt0 = np.asarray([float(v) for v in k0])
+    kkt_norm0 = jnp.asarray(kkt0, dtype)
+
+    step = make_class2_step(prob, opts, solver)
+    key = jax.random.PRNGKey(opts.seed)
+    bk = jnp.asarray(1.0, dtype)
+
+    kkt_hist = [kkt0]
+    fxk = [float(jnp.vdot(C, X))]
+    ssn_itnum, solver_itnum, restarts = [], [], []
+    fail_total = 0
+    converged = False
+    k_final = opts.maxit
+
+    for k in range(1, opts.maxit + 1):
+        resk_prev = jnp.asarray(kkt_hist[-1].max(), dtype)
+        X, us, VX, vs, lam, bk, key, mtr = step(
+            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
+            resk_prev, kkt_norm0)
+        kk = np.asarray([float(mtr.kkt_x), float(mtr.kkt_y),
+                         float(mtr.kkt_z), float(mtr.kkt_l)])
+        kkt_hist.append(kk)
+        fxk.append(float(mtr.fxk))
+        ssn_itnum.append(int(mtr.ssn_it))
+        solver_itnum.append((int(mtr.it_min), int(mtr.it_avg),
+                             int(mtr.it_max)))
+        restarts.append(bool(mtr.restarted))
+        fail_total += int(mtr.fail)
+        rr = (kk / (1 + kkt0)).max()
+        if verbose:
+            print(f"APD2 it={k:3d} kkt={kk[0]:.2e}/{kk[1]:.2e}/"
+                  f"{kk[2]:.2e}/{kk[3]:.2e} fk={fxk[-1]:.6e} "
+                  f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
+                  + (" RESTART" if restarts[-1] else ""))
+        if rr <= opts.kkt_tol:
+            converged = True
+            k_final = k
+            break
+
+    return Solve2Result(
+        X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
+        iters=k_final, kkt=np.asarray(kkt_hist), fxk=np.asarray(fxk),
+        ssn_itnum=np.asarray(ssn_itnum),
+        solver_itnum=np.asarray(solver_itnum),
+        restarts=np.asarray(restarts), fail_count=fail_total,
+        wall_time=time.perf_counter() - t0)

@@ -1,0 +1,206 @@
+"""Tests for the AMG engine: graph algorithms vs scipy oracles, hierarchy
+invariants (Galerkin symmetry, P rows sum to 1 under isnsp), and full
+hybrid solves vs dense direct solves."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import scipy.sparse as sp
+import scipy.sparse.csgraph as csgraph
+
+from otamg.amg.graph import (
+    connected_components_bipartite,
+    mis_dense,
+    strength_dense,
+)
+from otamg.amg.hierarchy import (
+    amg_solve,
+    bip_matvec,
+    setup_hierarchy,
+)
+from otamg.config import AMGOptions, Cycle
+from otamg.hybrid import make_aug_pcg_solver, make_hybrid_amg_solver
+
+
+def random_bipartite_mask(rng, m, n, density):
+    return (rng.uniform(size=(m, n)) < density).astype(float)
+
+
+@pytest.mark.parametrize("m,n,density", [(12, 9, 0.15), (30, 25, 0.05),
+                                         (20, 20, 0.3), (8, 8, 0.0)])
+def test_components_vs_scipy(m, n, density):
+    rng = np.random.default_rng(7)
+    S = random_bipartite_mask(rng, m, n, density)
+    labels = np.asarray(connected_components_bipartite(jnp.asarray(S)))
+    # scipy oracle on the (n+m) bipartite adjacency (cols first, rows after)
+    A = sp.lil_matrix((n + m, n + m))
+    for i in range(m):
+        for j in range(n):
+            if S[i, j]:
+                A[j, n + i] = 1
+                A[n + i, j] = 1
+    ncomp, ref = csgraph.connected_components(A.tocsr(), directed=False)
+    assert len(np.unique(labels)) == ncomp
+    # same partition: labels agree iff ref labels agree
+    for c in np.unique(ref):
+        idx = np.where(ref == c)[0]
+        assert len(np.unique(labels[idx])) == 1, "component split differs"
+    # representative is the min node index of the component
+    for c in np.unique(labels):
+        idx = np.where(labels == c)[0]
+        assert labels[idx].min() == idx.min()
+
+
+def test_strength_matches_reference_formula():
+    rng = np.random.default_rng(8)
+    N = 10
+    # Laplacian-like SPD matrix
+    B = rng.uniform(size=(N, N)) * (rng.uniform(size=(N, N)) < 0.4)
+    W = (B + B.T) / 2
+    np.fill_diagonal(W, 0)
+    A = np.diag(W.sum(1) + 0.1) - W
+    active = np.ones(N, bool)
+    S = np.asarray(strength_dense(jnp.asarray(A), jnp.asarray(active)))
+    # oracle
+    A0 = -A.copy()
+    np.fill_diagonal(A0, 0)
+    mr = A0.max(axis=1)
+    mr[mr <= 0] = np.inf
+    expected = np.zeros_like(A0)
+    for i in range(N):
+        for j in range(N):
+            if i != j and A0[i, j] != 0:
+                expected[i, j] = A0[i, j] / min(mr[i], mr[j])
+    np.testing.assert_allclose(S, expected, rtol=1e-12, atol=1e-15)
+
+
+def test_mis_properties():
+    rng = np.random.default_rng(9)
+    N = 40
+    W = (rng.uniform(size=(N, N)) < 0.2).astype(float)
+    W = np.triu(W, 1)
+    W = W + W.T
+    A = np.diag(W.sum(1) + 1e-3) - W
+    active = jnp.ones(N, bool)
+    S = strength_dense(jnp.asarray(A), active)
+    As = S >= 0.25
+    isC, isF = mis_dense(As, active, jax.random.PRNGKey(0))
+    isC, isF = np.asarray(isC), np.asarray(isF)
+    assert not np.any(isC & isF)
+    # C is independent in the strong graph up to the absorb step: every F
+    # node was produced as a neighbor of C or isolated
+    Asn = np.asarray(As)
+    iso = ~Asn.any(axis=1)
+    assert np.all(isC[iso]), "strength-isolated nodes must be C"
+    assert isC.sum() >= 1
+
+
+def _build_problem(rng, m, n, density, bk1, tk, tfrac=0.0):
+    p = rng.uniform(0.5, 2.0, m)
+    q = rng.uniform(0.5, 2.0, n)
+    S = random_bipartite_mask(rng, m, n, density)
+    tvec = np.zeros(n + m)
+    if tfrac > 0:
+        tvec = (rng.uniform(size=n + m) < tfrac) * rng.uniform(
+            0.1, 1.0, n + m)
+    rhs = rng.standard_normal(n + m)
+    return p, q, S, tvec, rhs
+
+
+def _dense_Jk(p, q, S, tvec, bk1, tk):
+    m, n = len(p), len(q)
+    d1 = S.T @ (p * p)
+    d2 = S @ (q * q)
+    off = (q[:, None] * S.T) * p[None, :]
+    H0 = np.block([[np.diag(d1), off], [off.T, np.diag(d2)]])
+    return bk1 * np.eye(n + m) + (np.diag(tvec) + H0) / tk
+
+
+@pytest.mark.parametrize("m,n,density,bk1,tfrac", [
+    (16, 12, 0.3, 1e-2, 0.0),
+    (24, 24, 0.08, 1e-4, 0.0),     # disconnected, near-singular
+    (20, 15, 0.2, 1e-3, 0.5),      # with K (POT-style SPD components)
+    (30, 30, 0.5, 1e-6, 0.0),      # dense-ish, very near-singular
+])
+def test_hybrid_amg_solves_jacobian(m, n, density, bk1, tfrac):
+    rng = np.random.default_rng(11)
+    p, q, S, tvec, rhs = _build_problem(rng, m, n, density, bk1, 1.0, tfrac)
+    tk = 0.7
+    Jk = _dense_Jk(p, q, S, tvec, bk1, tk)
+    want = np.linalg.solve(Jk, rhs)
+
+    solver = make_hybrid_amg_solver(jnp.asarray(p), jnp.asarray(q),
+                                    AMGOptions(maxit=40))
+    out = solver(jnp.asarray(S), jnp.asarray(tvec), bk1, tk,
+                 jnp.asarray(rhs), jax.random.PRNGKey(3))
+    got = np.asarray(out.zeta)
+    err = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert err < 1e-7, f"rel err {err:.2e}, iters={int(out.iters)}, " \
+                       f"res={float(out.res):.2e}"
+
+
+def test_hybrid_twogrid_solves_jacobian():
+    rng = np.random.default_rng(12)
+    m = n = 20
+    p, q, S, tvec, rhs = _build_problem(rng, m, n, 0.25, 1e-3, 1.0)
+    tk = 1.3
+    Jk = _dense_Jk(p, q, S, tvec, 1e-3, tk)
+    want = np.linalg.solve(Jk, rhs)
+    solver = make_hybrid_amg_solver(jnp.asarray(p), jnp.asarray(q),
+                                    AMGOptions(maxit=40), twogrid=True)
+    out = solver(jnp.asarray(S), jnp.asarray(tvec), 1e-3, tk,
+                 jnp.asarray(rhs), jax.random.PRNGKey(4))
+    err = np.linalg.norm(np.asarray(out.zeta) - want) / np.linalg.norm(want)
+    assert err < 1e-7, f"rel err {err:.2e}, iters={int(out.iters)}"
+
+
+def test_aug_pcg_solves_jacobian():
+    rng = np.random.default_rng(13)
+    m, n = 18, 14
+    p, q, S, tvec, rhs = _build_problem(rng, m, n, 0.12, 1e-5, 1.0)
+    tk = 0.9
+    Jk = _dense_Jk(p, q, S, tvec, 1e-5, tk)
+    want = np.linalg.solve(Jk, rhs)
+    from otamg.config import PCGOptions
+    solver = make_aug_pcg_solver(jnp.asarray(p), jnp.asarray(q),
+                                 PCGOptions())
+    out = solver(jnp.asarray(S), jnp.asarray(tvec), 1e-5, tk,
+                 jnp.asarray(rhs), jax.random.PRNGKey(5))
+    err = np.linalg.norm(np.asarray(out.zeta) - want) / np.linalg.norm(want)
+    assert err < 1e-6, f"rel err {err:.2e}, iters={int(out.iters)}"
+
+
+def test_hierarchy_invariants():
+    """Galerkin coarse matrices stay symmetric; under isnsp the level-1
+    prolongation rows sum to 1 (kernel preservation, transfer.m:60-62)."""
+    rng = np.random.default_rng(14)
+    m = n = 24
+    p = rng.uniform(0.5, 2.0, m)
+    q = rng.uniform(0.5, 2.0, n)
+    S = random_bipartite_mask(rng, m, n, 0.3)
+    bk1, tk = 1e-5, 1.0
+    p2, q2 = p * p, q * q
+    E = (p2[:, None] * q2[None, :]) * S
+    a0diag = np.concatenate([E.sum(0), E.sum(1)])
+    qp2 = np.concatenate([q2, p2])
+    g = bk1 * qp2 + a0diag / tk
+    from otamg.amg.graph import connected_components_bipartite as ccb
+    labels = ccb(jnp.asarray(E))
+    nsp = jnp.ones(n + m, bool)
+    lv1, dense = setup_hierarchy(jnp.asarray(E), jnp.asarray(g), 1 / tk,
+                                 labels, nsp, AMGOptions(),
+                                 jax.random.PRNGKey(0))
+    # W rows sum to 1 where the q-node has any edge (kernel preservation)
+    Wsum = np.asarray(jnp.sum(lv1.W, axis=1))
+    has_edge = E.sum(0) > 0
+    np.testing.assert_allclose(Wsum[has_edge], 1.0, rtol=1e-12)
+    for lv in dense:
+        A = np.asarray(lv.A)
+        np.testing.assert_allclose(A, A.T, rtol=0, atol=1e-12)
+        act = np.asarray(lv.active)
+        # padding rows are exactly identity
+        if (~act).any():
+            sub = A[~act][:, act]
+            np.testing.assert_allclose(sub, 0, atol=1e-14)
+            np.testing.assert_allclose(np.diag(A)[~act], 1.0, rtol=1e-12)
