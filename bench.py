@@ -1,0 +1,67 @@
+"""Benchmark harness: Class-1 OT solve to the reference KKT tolerance on
+the available accelerator.  Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no numbers (BASELINE.md), so vs_baseline is the
+ratio against a fixed nominal budget for this config (60 s for the 500x500
+demo-equivalent on one chip — the reference's own `toc` on the authors'
+CPU is unknown; >1.0 means faster than the nominal budget).
+"""
+
+import json
+import sys
+import time
+
+
+NOMINAL_BUDGET_S = 60.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    platform = jax.default_backend()
+    if platform == "cpu":
+        jax.config.update("jax_enable_x64", True)
+        dtype = jnp.float64
+    else:
+        dtype = jnp.float32
+
+    from otamg.config import APDOptions, InnerSolver
+    from otamg.opt import solve_class1
+    from otamg.ot import load_class1_mat, random_class1
+
+    try:
+        prob = load_class1_mat(
+            "/root/reference/Class1/InputData/data1-500.mat", dtype=dtype)
+    except Exception:
+        prob = random_class1(jax.random.PRNGKey(0), 500, 500, dtype=dtype)
+
+    # fp32 on TPU: the SsN floor tolerance is capped at what fp32 can
+    # resolve; the outer KKT criterion (1e-6 relative) is unchanged.
+    ssn_tol1 = 1e-11 if dtype == jnp.float64 else 1e-7
+    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=ssn_tol1)
+
+    # Warm-up run compiles everything; timed run measures steady state.
+    res = solve_class1(prob, opts)
+    t0 = time.time()
+    res = solve_class1(prob, opts)
+    elapsed = time.time() - t0
+
+    ok = bool(res.converged)
+    value = elapsed if ok else float("inf")
+    out = {
+        "metric": "class1_500_time_to_kkt1e-6",
+        "value": round(value, 3),
+        "unit": "s",
+        "vs_baseline": round(NOMINAL_BUDGET_S / value, 3) if ok else 0.0,
+        "converged": ok,
+        "iters": int(res.iters),
+        "platform": platform,
+    }
+    print(json.dumps(out))
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,8 @@
+from otamg.dist.api import (  # noqa: F401
+    make_mesh,
+    plan_sharding,
+    replicated,
+    row_sharding,
+    shard_class1,
+    shard_class2,
+)

@@ -1,0 +1,52 @@
+"""Distributed correctness: 1-chip vs N-chip results must agree (SURVEY.md
+section 4, distributed test tier).  Runs on the 8-device virtual CPU mesh
+from conftest."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from otamg.config import APDOptions, InnerSolver
+from otamg.dist import make_mesh, shard_class1
+from otamg.opt import solve_class1
+from otamg.ot import operators as op
+from otamg.ot import random_class1
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert len(jax.devices()) >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_sharded_operators_match(mesh):
+    prob = random_class1(jax.random.PRNGKey(0), 32, 24)
+    sp = shard_class1(prob, mesh)
+    X = jax.random.normal(jax.random.PRNGKey(1), (32, 24), jnp.float64)
+    Xs = jax.device_put(X, jax.sharding.NamedSharding(
+        mesh, jax.sharding.PartitionSpec("x", None)))
+    got = jax.jit(op.apply_A)(Xs, sp.p, sp.q)
+    want = op.apply_A(X, prob.p, prob.q)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=1e-12)
+    y = jax.random.normal(jax.random.PRNGKey(2), (24 + 32,), jnp.float64)
+    gotT = jax.jit(op.apply_At)(y, sp.p, sp.q)
+    wantT = op.apply_At(y, prob.p, prob.q)
+    np.testing.assert_allclose(np.asarray(gotT), np.asarray(wantT),
+                               rtol=1e-12)
+
+
+@pytest.mark.parametrize("inner", [InnerSolver.PCG, InnerSolver.AMG])
+def test_solve_1chip_vs_8chip(mesh, inner):
+    """The full APD solve must produce the same trajectory on a sharded
+    problem as on a single device (identical math, collective-inserted)."""
+    prob = random_class1(jax.random.PRNGKey(42), 32, 24)
+    opts = APDOptions(inner_solver=inner, maxit=40)
+    res1 = solve_class1(prob, opts)
+    res8 = solve_class1(shard_class1(prob, mesh), opts)
+    assert res1.converged == res8.converged
+    # trajectories agree to fp64 roundoff (reduction orders may differ)
+    np.testing.assert_allclose(res8.kkt_l, res1.kkt_l, rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(res8.fxk[-1], res1.fxk[-1], rtol=1e-9)

@@ -1,0 +1,118 @@
+"""Integration tests: both problem classes to the reference KKT tolerance,
+cross-checked against scipy.optimize.linprog (the reference's own disabled
+oracle, ``Class1/APD_SsN_Class1.m:42-51``, resurrected — SURVEY.md
+section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from scipy.optimize import linprog
+
+from otamg.config import AMGOptions, APDOptions, InnerSolver
+from otamg.opt import solve_class1
+from otamg.opt.apd2 import solve_class2
+from otamg.ot import random_class1, random_class2
+
+
+def dense_A(p, q):
+    m, n = len(p), len(q)
+    A1 = np.kron(np.eye(n), p[None, :])
+    A2 = np.kron(q[None, :], np.eye(m))
+    return np.vstack([A1, A2])
+
+
+@pytest.fixture(scope="module")
+def c1_prob():
+    return random_class1(jax.random.PRNGKey(42), 24, 20)
+
+
+@pytest.fixture(scope="module")
+def c1_lp(c1_prob):
+    prob = c1_prob
+    A = dense_A(np.asarray(prob.p), np.asarray(prob.q))
+    c = np.asarray(prob.C).ravel(order="F")
+    return linprog(c, A_eq=A, b_eq=np.asarray(prob.b), bounds=(0, None),
+                   method="highs")
+
+
+@pytest.mark.parametrize("inner", [InnerSolver.PCG, InnerSolver.AMG,
+                                   InnerSolver.TWOGRID,
+                                   InnerSolver.AUG_PCG,
+                                   InnerSolver.DIRECT])
+def test_class1_all_inner_solvers(c1_prob, c1_lp, inner):
+    res = solve_class1(c1_prob, APDOptions(inner_solver=inner))
+    assert res.converged, f"{inner} did not converge"
+    assert res.iters <= 100
+    assert abs(res.fxk[-1] - c1_lp.fun) / abs(c1_lp.fun) < 1e-5
+    assert res.fail_count == 0
+
+
+def test_class1_capacitated():
+    """Capacity-constrained transport (prob 3 of the reference header,
+    finite gama) exercises the box prox and the capacitated merit."""
+    key = jax.random.PRNGKey(3)
+    prob = random_class1(key, 16, 16, gama=np.inf)
+    # tight-ish capacity: max entry of the product coupling * 0.9
+    mass = float(jnp.sum(prob.r))
+    Xprod = np.outer(np.asarray(prob.l), np.asarray(prob.r)) / mass
+    gama = 2.0 * Xprod.max()
+    prob = prob.__class__(C=prob.C, r=prob.r, l=prob.l, p=prob.p, q=prob.q,
+                          gama=jnp.full((16, 16), gama, prob.C.dtype))
+    res = solve_class1(prob, APDOptions(inner_solver=InnerSolver.PCG))
+    assert res.converged
+    A = dense_A(np.asarray(prob.p), np.asarray(prob.q))
+    c = np.asarray(prob.C).ravel(order="F")
+    lp = linprog(c, A_eq=A, b_eq=np.asarray(prob.b), bounds=(0, gama),
+                 method="highs")
+    assert abs(res.fxk[-1] - lp.fun) / abs(lp.fun) < 1e-5
+    # capacity actually binds somewhere, otherwise the test is vacuous
+    assert np.asarray(res.X).max() > 0.99 * gama
+
+
+@pytest.fixture(scope="module")
+def c2_prob():
+    return random_class2(jax.random.PRNGKey(7), 20, 16, mu_frac=0.6)
+
+
+@pytest.fixture(scope="module")
+def c2_lp(c2_prob):
+    prob = c2_prob
+    m, n = prob.m, prob.n
+    A = dense_A(np.asarray(prob.p), np.asarray(prob.q))
+    phi = np.asarray(prob.Phi).ravel(order="F")
+    G = np.vstack([A, phi[None, :]])
+    IY = np.vstack([np.eye(n), np.zeros((m, n)), np.zeros((1, n))])
+    IZ = np.vstack([np.zeros((n, m)), np.eye(m), np.zeros((1, m))])
+    H = np.hstack([G, IY, IZ])
+    c = np.concatenate([np.asarray(prob.C).ravel(order="F"),
+                        np.zeros(n + m)])
+    return linprog(c, A_eq=H, b_eq=np.asarray(prob.b), bounds=(0, None),
+                   method="highs")
+
+
+@pytest.mark.parametrize("inner", [InnerSolver.AMG, InnerSolver.AUG_PCG,
+                                   InnerSolver.DIRECT])
+def test_class2_inner_solvers(c2_prob, c2_lp, inner):
+    res = solve_class2(c2_prob,
+                       APDOptions(ssn_tol1=1e-10, inner_solver=inner))
+    assert res.converged, f"{inner} did not converge"
+    assert abs(res.fxk[-1] - c2_lp.fun) / abs(c2_lp.fun) < 1e-5
+    assert res.fail_count == 0
+    # mass budget respected: <phi, x> == mu at optimum (mu < full mass)
+    got_mass = float(jnp.vdot(c2_prob.Phi, res.X))
+    np.testing.assert_allclose(got_mass, float(c2_prob.mu), rtol=1e-4)
+
+
+def test_warmup_consistency():
+    """Warm starts produce finite, feasible-leaning iterates."""
+    from otamg.opt import warmup_class1, warmup_class2
+
+    prob = random_class1(jax.random.PRNGKey(0), 12, 10)
+    ws = warmup_class1(prob, 100)
+    assert bool(jnp.all(jnp.isfinite(ws.X)))
+    assert bool(jnp.all(jnp.isfinite(ws.lam)))
+    prob2 = random_class2(jax.random.PRNGKey(1), 12, 10, mu_frac=0.5)
+    ws2 = warmup_class2(prob2, 100)
+    for a in (ws2.X, ws2.y, ws2.z, ws2.lam):
+        assert bool(jnp.all(jnp.isfinite(a)))
