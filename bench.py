@@ -20,6 +20,15 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # Persistent compilation cache: re-runs (and the driver's repeated
+    # bench invocations) skip the slow first compile over the TPU tunnel.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
     platform = jax.default_backend()
     if platform == "cpu":
         jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,153 @@
+"""Command-line driver: the reference demo scripts as a real CLI.
+
+Usage::
+
+    python -m otamg.cli class1 [--mat PATH | --m M --n N] [--inner amg]
+    python -m otamg.cli class2 [--mat PATH | --m M --n N] [--mu-frac F]
+    python -m otamg.cli info
+
+Replaces the reference's edit-the-script configuration
+(``Class1/APD_SsN_Class1.m:35-36,66-71``) with flags; per-iteration
+records go to ``--log`` (JSONL) and the reference's three diagnostic
+panels to ``--plot`` (PNG).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _common(sub):
+    sub.add_argument("--mat", help=".mat fixture path (reference format)")
+    sub.add_argument("--m", type=int, default=128)
+    sub.add_argument("--n", type=int, default=128)
+    sub.add_argument("--inner", default="amg",
+                     choices=["direct", "pcg", "aug_pcg", "amg", "twogrid"])
+    sub.add_argument("--maxit", type=int, default=100)
+    sub.add_argument("--kkt-tol", type=float, default=1e-6)
+    sub.add_argument("--seed", type=int, default=0)
+    sub.add_argument("--fp32", action="store_true",
+                     help="force fp32 (default on TPU)")
+    sub.add_argument("--log", help="JSONL per-iteration record path")
+    sub.add_argument("--plot", help="PNG plot prefix")
+    sub.add_argument("--checkpoint", help="checkpoint directory (orbax)")
+    sub.add_argument("--verbose", "-v", action="store_true")
+
+
+def _setup_jax(args):
+    import jax
+
+    platform = jax.default_backend()
+    if platform == "cpu" and not args.fp32:
+        jax.config.update("jax_enable_x64", True)
+        import jax.numpy as jnp
+
+        return jnp.float64
+    import jax.numpy as jnp
+
+    return jnp.float32
+
+
+def _opts(args, class2=False):
+    from otamg.config import APDOptions, InnerSolver
+
+    inner = InnerSolver[args.inner.upper()]
+    ssn_tol1 = 1e-10 if class2 else 1e-11
+    import jax
+
+    if jax.default_backend() != "cpu" or args.fp32:
+        ssn_tol1 = max(ssn_tol1, 1e-7)  # fp32 floor
+    return APDOptions(maxit=args.maxit, kkt_tol=args.kkt_tol,
+                      inner_solver=inner, ssn_tol1=ssn_tol1,
+                      seed=args.seed)
+
+
+def cmd_class1(args) -> int:
+    dtype = _setup_jax(args)
+    import jax
+
+    from otamg.diag.metrics import plot_run, solver_report
+    from otamg.opt import solve_class1
+    from otamg.ot import load_class1_mat, random_class1
+
+    if args.mat:
+        prob = load_class1_mat(args.mat, dtype=dtype)
+    else:
+        prob = random_class1(jax.random.PRNGKey(args.seed), args.m, args.n,
+                             dtype=dtype)
+    res = solve_class1(prob, _opts(args), verbose=args.verbose)
+    rep = solver_report(res)
+    print(json.dumps(rep))
+    if args.log:
+        with open(args.log, "w") as fh:
+            for k in range(len(res.kkt_x)):
+                fh.write(json.dumps({
+                    "it": k, "kkt_x": float(res.kkt_x[k]),
+                    "kkt_l": float(res.kkt_l[k]),
+                    "fxk": float(res.fxk[k])}) + "\n")
+    if args.plot:
+        for p in plot_run(res, args.plot):
+            print(f"wrote {p}", file=sys.stderr)
+    if args.checkpoint:
+        from otamg.diag.checkpoint import save_result
+
+        save_result(args.checkpoint, res)
+    return 0 if res.converged else 1
+
+
+def cmd_class2(args) -> int:
+    dtype = _setup_jax(args)
+    import jax
+
+    from otamg.diag.metrics import plot_run, solver_report
+    from otamg.opt.apd2 import solve_class2
+    from otamg.ot import load_class2_mat, random_class2
+
+    if args.mat:
+        prob = load_class2_mat(args.mat, dtype=dtype)
+    else:
+        prob = random_class2(jax.random.PRNGKey(args.seed), args.m, args.n,
+                             dtype=dtype, mu_frac=args.mu_frac)
+    res = solve_class2(prob, _opts(args, class2=True),
+                       verbose=args.verbose)
+    rep = solver_report(res)
+    print(json.dumps(rep))
+    if args.plot:
+        for p in plot_run(res, args.plot):
+            print(f"wrote {p}", file=sys.stderr)
+    return 0 if res.converged else 1
+
+
+def cmd_info(args) -> int:
+    import jax
+
+    import otamg
+
+    print(json.dumps({
+        "version": otamg.__version__,
+        "backend": jax.default_backend(),
+        "devices": [str(d) for d in jax.devices()],
+        "native": __import__("otamg.native", fromlist=["available"])
+        .available(),
+    }))
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="otamg")
+    subs = ap.add_subparsers(dest="cmd", required=True)
+    s1 = subs.add_parser("class1", help="OT / assignment / capacitated")
+    _common(s1)
+    s2 = subs.add_parser("class2", help="partial OT")
+    _common(s2)
+    s2.add_argument("--mu-frac", type=float, default=0.6)
+    subs.add_parser("info", help="environment report")
+    args = ap.parse_args(argv)
+    return {"class1": cmd_class1, "class2": cmd_class2,
+            "info": cmd_info}[args.cmd](args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -260,7 +260,10 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
                  solver: NewtonSolver | None = None,
                  warm: tuple | None = None,
-                 verbose: bool = False) -> SolveResult:
+                 verbose: bool = False,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 10,
+                 resume: bool = False) -> SolveResult:
     """End-to-end Class-1 solve: A-ADMM warm start + APD-SsN to the
     relative KKT tolerance (``KKT_Tol = 1e-6``,
     ``Class1/APD_SsN_Class1.m:35,264-268``)."""
@@ -287,6 +290,14 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     step = make_class1_step(prob, opts, solver)
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
+    k_start = 1
+    if resume and checkpoint_dir is not None:
+        from otamg.diag import checkpoint as ckpt
+
+        if ckpt.latest_step(checkpoint_dir) is not None:
+            st = ckpt.load_state(checkpoint_dir)
+            X, V, lam, bk, key = st.X, st.V, st.lam, st.bk, st.key
+            k_start = st.k + 1
 
     kkt_x = [kx0]
     kkt_l = [kl0]
@@ -296,7 +307,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     converged = False
     k_final = opts.maxit
 
-    for k in range(1, opts.maxit + 1):
+    for k in range(k_start, opts.maxit + 1):
         resk_prev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
         X, V, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_prev,
@@ -315,6 +326,11 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
                   f"kkt_l={kkt_l[-1]:.2e} fk={fxk[-1]:.6e} "
                   f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
                   + (" RESTART" if restarts[-1] else ""))
+        if checkpoint_dir is not None and k % checkpoint_every == 0:
+            from otamg.diag import checkpoint as ckpt
+
+            ckpt.save_state(checkpoint_dir,
+                            ckpt.APDState(X, V, lam, bk, key, k))
         if rr <= opts.kkt_tol:
             converged = True
             k_final = k

@@ -1,0 +1,71 @@
+"""CLI, metrics, and checkpoint/resume tests."""
+
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+
+from otamg.config import APDOptions, InnerSolver
+from otamg.opt import solve_class1
+from otamg.ot import random_class1
+
+
+def test_cli_class1_small(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, "-m", "otamg.cli", "class1", "--m", "16",
+         "--n", "12", "--inner", "pcg",
+         "--log", str(tmp_path / "log.jsonl")],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["converged"]
+    lines = (tmp_path / "log.jsonl").read_text().splitlines()
+    assert len(lines) == rep["iters"] + 1
+
+
+def test_cli_info():
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run([sys.executable, "-m", "otamg.cli", "info"],
+                         capture_output=True, text=True, env=env,
+                         timeout=300, cwd="/root/repo")
+    assert out.returncode == 0
+    rep = json.loads(out.stdout)
+    assert rep["backend"] == "cpu"
+
+
+def test_checkpoint_resume(tmp_path):
+    """Interrupting at iteration K and resuming must reach the same final
+    state as an uninterrupted run (restart-free trajectory)."""
+    prob = random_class1(jax.random.PRNGKey(5), 16, 12)
+    opts = APDOptions(inner_solver=InnerSolver.PCG, maxit=20,
+                      kkt_tol=1e-30)  # force fixed-length runs
+    ck = str(tmp_path / "ck")
+    full = solve_class1(prob, opts)
+    part = solve_class1(prob, APDOptions(inner_solver=InnerSolver.PCG,
+                                         maxit=10, kkt_tol=1e-30),
+                        checkpoint_dir=ck, checkpoint_every=5)
+    resumed = solve_class1(prob, opts, checkpoint_dir=ck, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.lam),
+                               np.asarray(full.lam), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_solver_report_and_plot(tmp_path):
+    from otamg.diag import plot_run, solver_report
+
+    prob = random_class1(jax.random.PRNGKey(6), 12, 10)
+    res = solve_class1(prob, APDOptions(inner_solver=InnerSolver.PCG))
+    rep = solver_report(res)
+    assert rep["converged"] and rep["iters"] == res.iters
+    paths = plot_run(res, str(tmp_path / "run"))
+    for p in paths:
+        assert os.path.exists(p)
