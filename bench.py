@@ -30,11 +30,13 @@ def main():
         pass
 
     platform = jax.default_backend()
-    if platform == "cpu":
-        jax.config.update("jax_enable_x64", True)
-        dtype = jnp.float64
-    else:
-        dtype = jnp.float32
+    # Precision architecture (SURVEY.md hard part (f)): the APD state and
+    # all O(mn) bandwidth-bound work run in f64 (emulated on TPU — cheap,
+    # it's elementwise/GEMV); the FLOP-heavy AMG hierarchy runs in fp32 on
+    # the MXU with exact kernel deflation + f64 iterative refinement.
+    jax.config.update("jax_enable_x64", True)
+    dtype = jnp.float64
+    solve_dtype = None if platform == "cpu" else "float32"
 
     from otamg.config import APDOptions, InnerSolver
     from otamg.opt import solve_class1
@@ -46,10 +48,8 @@ def main():
     except Exception:
         prob = random_class1(jax.random.PRNGKey(0), 500, 500, dtype=dtype)
 
-    # fp32 on TPU: the SsN floor tolerance is capped at what fp32 can
-    # resolve; the outer KKT criterion (1e-6 relative) is unchanged.
-    ssn_tol1 = 1e-11 if dtype == jnp.float64 else 1e-7
-    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=ssn_tol1)
+    opts = APDOptions(inner_solver=InnerSolver.AMG,
+                      solve_dtype=solve_dtype)
 
     # Warm-up run compiles everything; timed run measures steady state.
     res = solve_class1(prob, opts)

@@ -431,6 +431,9 @@ def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
 
     res0 = jnp.linalg.norm(b - bip_matvec(lv1, guess))
     safe0 = jnp.where(res0 == 0, 1.0, res0)
+    # Low-precision floor on the relative tolerance (never binds in fp64).
+    retol_eff = jnp.maximum(jnp.asarray(opts.retol, b.dtype),
+                            4 * jnp.finfo(b.dtype).eps)
 
     def cond(c):
         it, x, rel, rho, done = c
@@ -440,14 +443,19 @@ def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
         it, x, rel, rho, _ = c
         r = b - bip_matvec(lv1, x)
         e = cycle(lv1, dense, r)
-        x = x + e
-        res = jnp.linalg.norm(b - bip_matvec(lv1, x))
-        rel_new = res / safe0
-        rho_new = res / jnp.linalg.norm(r)
+        x_new = x + e
+        res = jnp.linalg.norm(b - bip_matvec(lv1, x_new))
+        # NaN guard (the reference's commented check, Class_AMG.m:79-81):
+        # a non-finite cycle result is treated as divergence — revert and
+        # stop rather than poisoning the Newton step.
+        bad = jnp.logical_not(jnp.isfinite(res))
+        x_new = jnp.where(bad, x, x_new)
+        rel_new = jnp.where(bad, rel, res / safe0)
+        rho_new = jnp.where(bad, 2.0, res / jnp.linalg.norm(r))
         it = it + 1
-        done = jnp.logical_or(rel_new <= opts.retol, it >= opts.maxit)
+        done = jnp.logical_or(rel_new <= retol_eff, it >= opts.maxit)
         done = jnp.logical_or(done, rho_new > 1.0)
-        return it, x, rel_new, rho_new, done
+        return it, x_new, rel_new, rho_new, done
 
     init = (jnp.int32(0), guess, jnp.asarray(1.0, b.dtype),
             jnp.asarray(0.0, b.dtype), res0 == 0)

@@ -113,6 +113,11 @@ class APDOptions:
     # bk1 < restart_bk_floor and the KKT residual grew, roll back.
     restart_bk_floor: float = 1e-8
     seed: int = 0
+    # Mixed precision: dtype name ("float32") for the inner Newton-system
+    # solver; None = same precision as the problem.  With fp32 the hybrid
+    # solvers polish via f64 iterative refinement (TPU mode: f64 APD
+    # layer, fp32 MXU hierarchy).
+    solve_dtype: Optional[str] = None
 
 
 @dataclasses.dataclass(frozen=True)

@@ -6,3 +6,4 @@ from otamg.dist.api import (  # noqa: F401
     shard_class1,
     shard_class2,
 )
+from otamg.dist.spmv import spmv_allgather, spmv_halo  # noqa: F401

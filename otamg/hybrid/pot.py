@@ -20,20 +20,17 @@ from typing import Callable
 import jax
 import jax.numpy as jnp
 
-from otamg.amg.hierarchy import amg_solve, setup_hierarchy
 from otamg.config import AMGOptions, PCGOptions
-from otamg.hybrid.solver import (
-    _component_info,
-    _transform,
-    make_aug_pcg_solver,
-)
+from otamg.hybrid.solver import make_aug_pcg_solver
 from otamg.opt.newton import NewtonSolveResult, NewtonSolver
 from otamg.ot import operators as op
 
 
 def make_pot_amg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
                         opts: AMGOptions,
-                        twogrid: bool = False) -> NewtonSolver:
+                        twogrid: bool = False,
+                        solve_dtype=None,
+                        refine: int = 10) -> NewtonSolver:
     """POT Newton solver: SMW reduction + hybrid AMG core solves with a
     shared hierarchy (``AMG4POT.m`` with the 'amg'/'twogrid' backends)."""
     if twogrid:
@@ -52,20 +49,14 @@ def make_pot_amg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
         v = op.apply_A(SPhi, p, q)
         w = z1 - (sg / phi_e) * z2 * v
 
-        E, g, kdiag, _, q0 = _transform(S, tvec, bk1, tk, z1, p, q)
-        labels, nsp, ncomp = _component_info(E, kdiag)
         kg1, kg2, ks = jax.random.split(key, 3)
-        lv1, dense = setup_hierarchy(E, g, sg, labels, nsp, opts, ks)
+        from otamg.hybrid.solver import build_he_solver
 
-        def core_solve(rhs_core, kguess):
-            f = q0 * rhs_core
-            guess = bk1 * tk * jax.random.uniform(kguess, f.shape,
-                                                  dtype=f.dtype)
-            r = amg_solve(lv1, dense, f, guess, opts)
-            return q0 * r.x, r.iters, r.rel_res
-
-        vv, it1, res1 = core_solve(v, kg1)
-        ww, it2, res2 = core_solve(w, kg2)
+        he_solve, ncomp = build_he_solver(S, tvec, bk1, tk, p, q, opts,
+                                          solve_dtype, refine,
+                                          rhs.dtype, ks)
+        vv, it1, res1 = he_solve(v, kg1)
+        ww, it2, res2 = he_solve(w, kg2)
 
         tt = sg ** 2 / (phi_e - sg ** 2 * jnp.vdot(v, vv))
         zeta1 = ww + tt * vv * jnp.vdot(v, ww)

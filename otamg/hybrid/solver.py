@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 
 from otamg.amg.graph import connected_components_bipartite
 from otamg.amg.hierarchy import amg_solve, setup_hierarchy
@@ -64,11 +65,23 @@ def _component_info(E, kdiag):
 
 def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
                            opts: AMGOptions,
-                           twogrid: bool = False) -> NewtonSolver:
+                           twogrid: bool = False,
+                           solve_dtype=None,
+                           refine: int = 10) -> NewtonSolver:
     """Newton solver via the hybrid AMG path (``inner_solver=4``; with
     ``twogrid=True`` the two-level variant of ``Hybrid_twogrid.m`` /
     ``twogrid_bigph.m`` — one coarse level, Jacobi-PCG coarse correction
-    capped at 100 iterations, ``twogrid_bigph.m:98-99``)."""
+    capped at 100 iterations, ``twogrid_bigph.m:98-99``).
+
+    Mixed precision (TPU): with ``solve_dtype=float32`` the hierarchy is
+    built and cycled in fp32 (MXU speed) and the solution is polished by
+    ``refine`` rounds of iterative refinement — true-precision residual
+    through the *structured* operator (two masked GEMVs), fp32 correction
+    solve reusing the same hierarchy.  The reference needs rel tol 1e-11
+    (``amg_options.retol``); fp32 cycles reach ~1e-7, and each refinement
+    round squares down the residual, restoring f64-quality solutions at
+    fp32 cost.
+    """
     if twogrid:
         opts = AMGOptions(
             retol=opts.retol, bigph=opts.bigph, maxit=opts.maxit,
@@ -78,20 +91,115 @@ def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
             coarse_pcg=PCGOptions(retol=1e-11, maxit=100))
 
     def solve(S, tvec, bk1, tk, rhs, key) -> NewtonSolveResult:
-        E, g, kdiag, f, q0 = _transform(S, tvec, bk1, tk, rhs, p, q)
-        labels, nsp, ncomp = _component_info(E, kdiag)
-        k_guess, k_setup = jax.random.split(key)
-        # Random initial guess scaled as the reference's
-        # ``bk1*tk*rand`` (Hybrid_AMG.m:69).
-        guess = bk1 * tk * jax.random.uniform(k_guess, f.shape,
-                                              dtype=f.dtype)
-        lv1, dense = setup_hierarchy(E, g, 1.0 / tk, labels, nsp, opts,
-                                     k_setup)
-        r = amg_solve(lv1, dense, f, guess, opts)
-        return NewtonSolveResult(q0 * r.x, r.iters, r.rel_res, ncomp,
-                                 jnp.int32(0))
+        k_setup, k_solve = jax.random.split(key)
+        he_solve, ncomp = build_he_solver(S, tvec, bk1, tk, p, q, opts,
+                                          solve_dtype, refine,
+                                          rhs.dtype, k_setup)
+        zeta, iters, rel = he_solve(rhs, k_solve)
+        return NewtonSolveResult(zeta, iters, rel, ncomp, jnp.int32(0))
 
     return solve
+
+
+def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
+                    solve_dtype, refine: int, hi, key):
+    """Build the hierarchy once and return ``(he_solve, ncomp)`` where
+    ``he_solve(rhs, key) -> (zeta, iters, rel)`` solves ``He zeta = rhs``.
+
+    The returned closure can be called repeatedly against the same ``He``
+    — the shared-setup improvement AMG4POT needs (SURVEY.md section 3.2:
+    the reference rebuilds the hierarchy for each of its two solves).
+    """
+    lo = hi if solve_dtype is None else jnp.dtype(solve_dtype)
+    E, g, kdiag, _, q0 = _transform(S, tvec, bk1, tk,
+                                    jnp.zeros_like(tvec), p, q)
+    labels, nsp, ncomp = _component_info(E, kdiag)
+    lv1, dense = setup_hierarchy(E.astype(lo), g.astype(lo),
+                                 jnp.asarray(1.0 / tk, lo),
+                                 labels, nsp, opts, key)
+
+    n = q.shape[0]
+    N = tvec.shape[0]
+    mixed = lo != hi
+    if mixed:
+        qp2 = jnp.concatenate([q * q, p * p]).astype(hi)
+        ghi = bk1 * qp2 + (kdiag.astype(hi) + _a0diag_hi(S, p, q)) / tk
+        Shi = S.astype(hi)
+        p2 = (p * p).astype(hi)
+        q2 = (q * q).astype(hi)
+
+        def ae_hi(v):
+            v1, v2 = v[:n], v[n:]
+            ev1 = p2 * (Shi @ (q2 * v1))
+            ev2 = q2 * (Shi.T @ (p2 * v2))
+            return ghi * v - jnp.concatenate([ev2, ev1]) / tk
+
+        # Exact kernel-mode deflation: on a near-singular component c
+        # (K vanishes there) the indicator xi_c satisfies
+        # Ae xi_c = bk1 Q xi_c exactly, so the kernel coordinate obeys the
+        # 1-D equation bk1 (xi^T Q xi) a_c = xi^T r — solvable in f64 with
+        # no 1/bk1 amplification through the fp32 solver.
+        nsp_f = nsp.astype(hi)
+        qsum = jax.ops.segment_sum(qp2 * nsp_f, labels, num_segments=N)
+        den = bk1 * qsum
+        safe_den = jnp.where(den > 0, den, 1.0)
+
+    def he_solve(rhs, kguess):
+        f = q0 * rhs
+        # Random initial guess scaled as the reference's ``bk1*tk*rand``
+        # (Hybrid_AMG.m:69).
+        guess = jnp.asarray(bk1 * tk, lo) * jax.random.uniform(
+            kguess, f.shape, dtype=lo)
+        r = amg_solve(lv1, dense, f.astype(lo), guess, opts)
+        u = r.x.astype(hi)
+        iters = r.iters
+        if not mixed:
+            return q0 * u, iters, r.rel_res
+
+        def kernel_correct(u):
+            rr = f - ae_hi(u)
+            num = jax.ops.segment_sum(rr * nsp_f, labels, num_segments=N)
+            delta = jnp.where(den[labels] > 0,
+                              num[labels] / safe_den[labels], 0.0)
+            return u + delta * nsp_f
+
+        # Adaptive refinement: iterate until the f64 relative residual
+        # meets the reference tolerance (retol, Class_AMG.m:95) or the
+        # round budget runs out; each round gains ~fp32-solve digits.
+        nf = jnp.linalg.norm(f)
+        safe_nf = jnp.where(nf > 0, nf, 1.0)
+        target = jnp.asarray(opts.retol, hi)
+        zeros_lo = jnp.zeros(N, lo)
+
+        def refine_cond(c):
+            u, rel, rounds, its = c
+            return jnp.logical_and(rel > target, rounds < refine)
+
+        def refine_body(c):
+            u, _, rounds, its = c
+            resid = f - ae_hi(u)
+            cor = amg_solve(lv1, dense, resid.astype(lo), zeros_lo, opts)
+            u = kernel_correct(u + cor.x.astype(hi))
+            rel = jnp.linalg.norm(f - ae_hi(u)) / safe_nf
+            return u, rel, rounds + 1, jnp.maximum(its, cor.iters)
+
+        u = kernel_correct(u)
+        rel0 = jnp.linalg.norm(f - ae_hi(u)) / safe_nf
+        u, rel, _, iters = lax.while_loop(
+            refine_cond, refine_body, (u, rel0, jnp.int32(0), iters))
+        return q0 * u, iters, rel
+
+    return he_solve, ncomp
+
+
+def _a0diag_hi(S, p, q):
+    """Exact ``A0`` diagonal in the input precision: column/row sums of
+    ``E_ij = p_i^2 q_j^2 s_ij``."""
+    p2 = p * p
+    q2 = q * q
+    col = q2 * (S.T @ p2)     # (n,)
+    row = p2 * (S @ q2)       # (m,)
+    return jnp.concatenate([col, row])
 
 
 def make_aug_pcg_solver(p: jax.Array, q: jax.Array,

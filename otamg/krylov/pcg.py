@@ -51,6 +51,12 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
     if x0 is None:
         x0 = jnp.zeros_like(e)
 
+    # Low-precision floor: fp32 cannot reach the reference's 1e-11, so the
+    # tolerance is clamped to a few ulps of relative residual; in fp64 the
+    # floor (~9e-16) never binds (SURVEY.md hard part (f)).
+    eps = jnp.finfo(e.dtype).eps
+    retol_eff = jnp.maximum(jnp.asarray(retol, e.dtype), 4 * eps)
+
     r0 = e - matvec(x0)
     p0 = precond(r0)
     delta0 = jnp.vdot(r0, p0)
@@ -58,24 +64,41 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
     safe_delta0 = jnp.where(delta0 == 0, 1.0, delta0)
 
     def cond(carry):
-        it, d, r, p, delta_new = carry
-        return jnp.logical_and(it < maxit,
-                               delta_new > (retol ** 2) * delta0)
+        it, d, r, p, delta_new, done = carry
+        return jnp.logical_not(done)
 
     def body(carry):
-        it, d, r, p, delta_old = carry
+        it, d, r, p, delta_old, _ = carry
         q = matvec(p)
-        alpha = delta_old / jnp.vdot(q, p)
-        d = d + alpha * p
-        r = r - alpha * q
-        w = precond(r)
-        delta_new = jnp.vdot(r, w)
-        beta = delta_new / delta_old
-        p = w + beta * p
-        return it + 1, d, r, p, delta_new
+        qp = jnp.vdot(q, p)
+        # Breakdown guard: qp <= 0 (or NaN) means SPD has been lost to
+        # roundoff — stop and keep the current iterate.
+        breakdown = jnp.logical_not(qp > 0)
+        alpha = jnp.where(breakdown, 0.0, delta_old / jnp.where(
+            qp == 0, 1.0, qp))
+        d1 = d + alpha * p
+        r1 = r - alpha * q
+        w = precond(r1)
+        delta_new = jnp.vdot(r1, w)
+        beta = delta_new / jnp.where(delta_old == 0, 1.0, delta_old)
+        p1 = w + beta * p
+        keep = jnp.logical_not(breakdown)
+        it1 = it + keep.astype(jnp.int32)
+        done = jnp.logical_or(
+            breakdown,
+            jnp.logical_or(it1 >= maxit, jnp.logical_not(
+                delta_new > (retol_eff ** 2) * delta0)))
+        done = jnp.logical_or(done,
+                              jnp.logical_not(jnp.isfinite(delta_new)))
+        sel = lambda a, b: jnp.where(keep, a, b)
+        return (it1, sel(d1, d), sel(r1, r), sel(p1, p),
+                sel(delta_new, delta_old), done)
 
-    it, d, r, p, delta_new = lax.while_loop(
-        cond, body, (jnp.int32(0), x0, r0, p0, delta0))
+    init_done = jnp.logical_not(delta0 > (retol_eff ** 2) * delta0)
+    init_done = jnp.logical_or(init_done, delta0 == 0)
+    it, d, r, p, delta_new, _ = lax.while_loop(
+        cond, body, (jnp.int32(0), x0, r0, p0, delta0,
+                     jnp.logical_or(init_done, maxit <= 0)))
     res = jnp.sqrt(jnp.abs(delta_new / safe_delta0))
     return PCGResult(d, it, res)
 

@@ -78,20 +78,21 @@ class SolveResult:
     wall_time: float
 
 
-def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool):
+def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool, acc=None):
     """Dual merit for the Armijo search (``Class1/APD_SsN_Class1.m:182-189``).
 
     For prob < 3 (``gama = inf``): ``f0 + tk/2 ||prox(z)||^2``;
     for capacity-constrained problems: ``f0 + tk/2 (||z||^2 -
-    ||z - prox(z)||^2)`` — identical when ``gama = inf``.
+    ||z - prox(z)||^2)`` — identical when ``gama = inf``.  ``acc``
+    requests high-precision accumulation of the O(mn) dots.
     """
     f0 = bk1 / 2 * jnp.vdot(lam, lam) - jnp.vdot(wlk, lam)
-    if capacitated:
-        PZ = op.prox_box(Zk, gama)
-        return f0 + 0.5 * tk * (jnp.vdot(Zk, Zk)
-                                - jnp.vdot(Zk - PZ, Zk - PZ))
     PZ = op.prox_box(Zk, gama)
-    return f0 + 0.5 * tk * jnp.vdot(PZ, PZ)
+    if capacitated:
+        return f0 + 0.5 * tk * (
+            op.vdot_hi(Zk, Zk, acc)
+            - op.vdot_hi(Zk - PZ, Zk - PZ, acc))
+    return f0 + 0.5 * tk * op.vdot_hi(PZ, PZ, acc)
 
 
 def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
@@ -112,11 +113,13 @@ def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
     if opts.inner_solver == InnerSolver.AMG:
         from otamg.hybrid import make_hybrid_amg_solver
 
-        return make_hybrid_amg_solver(p, q, opts.amg)
+        return make_hybrid_amg_solver(p, q, opts.amg,
+                                      solve_dtype=opts.solve_dtype)
     if opts.inner_solver == InnerSolver.TWOGRID:
         from otamg.hybrid import make_hybrid_amg_solver
 
-        return make_hybrid_amg_solver(p, q, opts.amg, twogrid=True)
+        return make_hybrid_amg_solver(p, q, opts.amg, twogrid=True,
+                                      solve_dtype=opts.solve_dtype)
     raise ValueError(f"unknown inner solver {opts.inner_solver}")
 
 
@@ -128,6 +131,15 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
     p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
     b = prob.b
     dtype = C.dtype
+    # Mixed precision (SURVEY.md hard part (f)): when the plan is stored
+    # in fp32 (TPU), the dual-space state and every O(mn) *reduction*
+    # (operator applications into the dual, merit dots, KKT norms) are
+    # carried in f64 — small vectors and f64-accumulated GEMVs only, so
+    # the MXU-heavy O(mn)/O(N^2) work stays fp32.  Requires x64 enabled.
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+    b_hi = b.astype(hi)
     if solver is None:
         solver = make_solver_from_options(p, q, opts)
     if capacitated is None:
@@ -135,15 +147,16 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
     nm = prob.n + prob.m
     zeros_t = jnp.zeros(nm, dtype)
 
-    kkt0 = None  # closed over lazily by the driver via normalizers argument
-
     def ssn_solve(Wk, wlk, lam0, bk1, tk, ssn_tol, key):
-        """The SsN while-loop (``Class1/APD_SsN_Class1.m:137-238``)."""
+        """The SsN while-loop (``Class1/APD_SsN_Class1.m:137-238``).
+        ``lam0``/``wlk`` are hi-precision; Z-space arrays stay lo."""
 
         def F_of(lam, Zk):
-            return bk1 * lam - op.apply_A(op.prox_box(Zk, gama), p, q) - wlk
+            return (bk1 * lam
+                    - op.apply_A(op.prox_box(Zk, gama), p, q, acc).astype(hi)
+                    - wlk)
 
-        Z0 = (Wk - op.apply_At(lam0, p, q)) / tk
+        Z0 = (Wk - op.apply_At(lam0.astype(dtype), p, q)) / tk
         nF0 = jnp.linalg.norm(F_of(lam0, Z0))
         big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
         init = _SsnCarry(jnp.int32(0), lam0, Z0, nF0, nF0,
@@ -155,26 +168,29 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 
         def body(c: _SsnCarry) -> _SsnCarry:
             lam_old = c.lam
-            At_lam = op.apply_At(lam_old, p, q)
+            At_lam = op.apply_At(lam_old.astype(dtype), p, q)
             Zk_old = (Wk - At_lam) / tk
             S = jnp.logical_and(Zk_old >= 0, Zk_old <= gama).astype(dtype)
             Fk_old = F_of(lam_old, Zk_old)
             nFk_old = jnp.linalg.norm(Fk_old)
             key, sub = jax.random.split(c.key)
-            sol = solver(S, zeros_t, bk1, tk, -Fk_old, sub)
-            zeta = sol.zeta
+            sol = solver(S, zeros_t, jnp.asarray(bk1, dtype),
+                         jnp.asarray(tk, dtype),
+                         (-Fk_old).astype(dtype), sub)
+            zeta = sol.zeta.astype(hi)
             # --- Armijo backtracking (:182-211), affine in `step` ---
-            At_zeta = op.apply_At(zeta, p, q)
-            cF_old = _merit(lam_old, Zk_old, wlk, bk1, tk, gama, capacitated)
+            At_zeta = op.apply_At(sol.zeta.astype(dtype), p, q)
+            cF_old = _merit(lam_old, Zk_old, wlk, bk1, tk, gama, capacitated,
+                            acc)
             ress = jnp.abs(jnp.vdot(Fk_old, zeta))
 
             def trial(step):
                 lam_t = lam_old + step * zeta
-                Z_t = (Wk - At_lam - step * At_zeta) / tk
+                Z_t = (Wk - At_lam - step.astype(dtype) * At_zeta) / tk
                 return lam_t, Z_t, _merit(lam_t, Z_t, wlk, bk1, tk, gama,
-                                          capacitated)
+                                          capacitated, acc)
 
-            lam_t, Z_t, cF_new = trial(jnp.asarray(1.0, dtype))
+            lam_t, Z_t, cF_new = trial(jnp.asarray(1.0, hi))
 
             def ls_cond(carry):
                 ll, step, lam_t, Z_t, cF_new = carry
@@ -189,7 +205,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 
             ll, step, lam_new, Z_new, cF_new = lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.int32(0), jnp.asarray(1.0, dtype), lam_t, Z_t, cF_new))
+                (jnp.int32(0), jnp.asarray(1.0, hi), lam_t, Z_t, cF_new))
 
             Fk_new = F_of(lam_new, Z_new)
             nFk_new = jnp.linalg.norm(Fk_new)
@@ -223,10 +239,12 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
         tk = bk * (1 + ak) / ak ** 2
         ssn_tol = jnp.maximum(bk1 / kf ** 2, opts.ssn_tol1)
         Wk = -C + bk * (X + ak * V) / ak ** 2
-        wlk = bk1 * (lam - (op.apply_A(X, p, q) - b) / bk) - b
+        wlk = (bk1 * (lam - (op.apply_A(X, p, q, acc).astype(hi) - b_hi)
+                      / bk) - b_hi)
 
         key, sub = jax.random.split(key)
-        ssn = ssn_solve(Wk, wlk, lam, bk1, tk, ssn_tol, sub)
+        ssn = ssn_solve(Wk, wlk, lam.astype(hi), bk1.astype(hi), tk,
+                        ssn_tol, sub)
 
         lam1 = ssn.lam
         X1 = op.prox_box(ssn.Zk, gama)
@@ -234,7 +252,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 
         # Restart heuristic (:241-249): compare the *normalized* new KKT
         # residual to the *raw* previous one, exactly as the reference does.
-        kx1, kl1 = op.kkt_class1(X1, lam1, C, b, p, q, gama)
+        kx1, kl1 = op.kkt_class1(X1, lam1, C, b, p, q, gama, acc)
         rr = jnp.maximum(kx1 / (1 + kkt_norm0[0]), kl1 / (1 + kkt_norm0[1]))
         key, sub = jax.random.split(key)
         restart = jnp.logical_and(bk1 < opts.restart_bk_floor, rr > resk_prev)
@@ -244,8 +262,8 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
         V1 = jnp.where(restart, X, V1)
 
         # Final residual record (:253-254) at the possibly-reverted state.
-        kx, kl = op.kkt_class1(X1, lam1, C, b, p, q, gama)
-        fxk = jnp.vdot(C, X1)
+        kx, kl = op.kkt_class1(X1, lam1, C, b, p, q, gama, acc)
+        fxk = op.vdot_hi(C, X1, acc)
         avg = jnp.where(ssn.it > 0, ssn.it_sum // jnp.maximum(ssn.it, 1), -1)
         metrics = OuterMetrics(
             kkt_x=kx, kkt_l=kl, fxk=fxk, ssn_it=ssn.it,
@@ -275,14 +293,19 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     if solver is None:
         solver = make_solver_from_options(p, q, opts)
 
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+
     if warm is None:
         ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()
         X, lam = ws.X, ws.lam
     else:
         X, lam = warm
+    lam = lam.astype(hi)
     V = X
 
-    kx0, kl0 = op.kkt_class1(X, lam, C, b, p, q, gama)
+    kx0, kl0 = op.kkt_class1(X, lam, C, b, p, q, gama, acc)
     kx0 = float(kx0)
     kl0 = float(kl0)
     kkt_norm0 = jnp.asarray([kx0, kl0], dtype)

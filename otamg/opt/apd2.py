@@ -90,9 +90,11 @@ def make_pot_solver_from_options(p, q, Phi, opts: APDOptions) -> NewtonSolver:
     if opts.inner_solver == InnerSolver.AUG_PCG:
         return make_pot_pcg_solver(p, q, Phi, opts.pcg)
     if opts.inner_solver == InnerSolver.AMG:
-        return make_pot_amg_solver(p, q, Phi, opts.amg)
+        return make_pot_amg_solver(p, q, Phi, opts.amg,
+                                   solve_dtype=opts.solve_dtype)
     if opts.inner_solver == InnerSolver.TWOGRID:
-        return make_pot_amg_solver(p, q, Phi, opts.amg, twogrid=True)
+        return make_pot_amg_solver(p, q, Phi, opts.amg, twogrid=True,
+                                   solve_dtype=opts.solve_dtype)
     raise ValueError(f"unknown inner solver {opts.inner_solver}")
 
 

@@ -42,14 +42,32 @@ def split_dual(y: jax.Array, n: int):
     return y[:n], y[n:]
 
 
-def apply_A(X: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
+def apply_A(X: jax.Array, p: jax.Array, q: jax.Array,
+            out_dtype=None) -> jax.Array:
     """``A @ vec(X)`` without materialising ``A`` (reference ``Ax.m``).
 
-    Returns the flat ``(n + m,)`` vector ``[X^T p; X q]``.
+    Returns the flat ``(n + m,)`` vector ``[X^T p; X q]``.  ``out_dtype``
+    requests a higher accumulation precision (mixed-precision mode: fp32
+    storage with f64-accumulated reductions on TPU).
     """
-    yn = jnp.matmul(X.T, p, precision=_P)
-    ym = jnp.matmul(X, q, precision=_P)
+    kw = {} if out_dtype is None else {
+        "preferred_element_type": out_dtype}
+    yn = jnp.matmul(X.T, p, precision=_P, **kw)
+    ym = jnp.matmul(X, q, precision=_P, **kw)
     return jnp.concatenate([yn, ym])
+
+
+def vdot_hi(a: jax.Array, b: jax.Array, out_dtype=None) -> jax.Array:
+    """Dot product with optional high-precision accumulation."""
+    if out_dtype is None:
+        return jnp.vdot(a, b)
+    return jnp.einsum("i,i->", a.reshape(-1), b.reshape(-1),
+                      precision=_P, preferred_element_type=out_dtype)
+
+
+def norm_hi(a: jax.Array, out_dtype=None) -> jax.Array:
+    """2-norm with optional high-precision accumulation."""
+    return jnp.sqrt(vdot_hi(a, a, out_dtype))
 
 
 def apply_At(y: jax.Array, p: jax.Array, q: jax.Array) -> jax.Array:
@@ -180,16 +198,18 @@ def apply_Ht(lam: jax.Array, p: jax.Array, q: jax.Array, Phi: jax.Array):
 
 
 def kkt_class1(X: jax.Array, lam: jax.Array, C: jax.Array, b: jax.Array,
-               p: jax.Array, q: jax.Array, gama):
+               p: jax.Array, q: jax.Array, gama, out_dtype=None):
     """Primal/dual KKT residual norms for Class 1
     (reference ``Class1/APD_SsN_Class1.m:63-65``)::
 
         KKT(lam) = || A x - b ||
         KKT(x)   = || x - prox(x - c - A^T lam) ||
     """
-    kkt_l = jnp.linalg.norm(apply_A(X, p, q) - b)
-    R = X - prox_box(X - C - apply_At(lam, p, q), gama)
-    kkt_x = jnp.linalg.norm(R.ravel())
+    hb = b if out_dtype is None else b.astype(out_dtype)
+    kkt_l = jnp.linalg.norm(apply_A(X, p, q, out_dtype) - hb)
+    lam_lo = lam.astype(X.dtype)
+    R = X - prox_box(X - C - apply_At(lam_lo, p, q), gama)
+    kkt_x = norm_hi(R.ravel(), out_dtype)
     return kkt_x, kkt_l
 
 

@@ -50,3 +50,33 @@ def test_solve_1chip_vs_8chip(mesh, inner):
     np.testing.assert_allclose(res8.kkt_l, res1.kkt_l, rtol=1e-6,
                                atol=1e-10)
     np.testing.assert_allclose(res8.fxk[-1], res1.fxk[-1], rtol=1e-9)
+
+
+def test_spmv_allgather_matches(mesh):
+    from otamg.sparse import CSR
+    rng = np.random.default_rng(3)
+    N = 64
+    A = rng.standard_normal((N, N))
+    A[rng.uniform(size=(N, N)) >= 0.2] = 0.0
+    csr = CSR.from_dense(jnp.asarray(A), row_cap=N)
+    x = jnp.asarray(rng.standard_normal(N))
+    from otamg.dist import spmv_allgather
+    got = spmv_allgather(mesh, csr.ell_cols, csr.ell_vals, x)
+    np.testing.assert_allclose(np.asarray(got), A @ np.asarray(x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_spmv_halo_banded(mesh):
+    from otamg.sparse import CSR
+    rng = np.random.default_rng(4)
+    N, halo = 64, 3
+    A = np.zeros((N, N))
+    for i in range(N):
+        lo, hi = max(0, i - halo), min(N, i + halo + 1)
+        A[i, lo:hi] = rng.standard_normal(hi - lo)
+    csr = CSR.from_dense(jnp.asarray(A), row_cap=2 * halo + 1)
+    x = jnp.asarray(rng.standard_normal(N))
+    from otamg.dist import spmv_halo
+    got = spmv_halo(mesh, csr.ell_cols, csr.ell_vals, x, halo=halo)
+    np.testing.assert_allclose(np.asarray(got), A @ np.asarray(x),
+                               rtol=1e-12, atol=1e-12)
