@@ -119,3 +119,22 @@ def test_pallas_ell_spmv_interpret():
     np.testing.assert_allclose(np.asarray(got16),
                                np.asarray(csr16.matvec(x)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_asat_coo_vs_dense():
+    from otamg.sparse import asat_coo
+    rng = np.random.default_rng(7)
+    m, n = 9, 7
+    p = rng.uniform(0.5, 2.0, m)
+    q = rng.uniform(0.5, 2.0, n)
+    s = (rng.uniform(size=m * n) > 0.5).astype(float)
+    S = s.reshape((m, n), order="F")
+    A1 = np.kron(np.eye(n), p[None, :])
+    A2 = np.kron(q[None, :], np.eye(m))
+    A = np.vstack([A1, A2])
+    H0 = A @ np.diag(s) @ A.T
+    coo = asat_coo(jnp.asarray(S), jnp.asarray(p), jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(coo.to_dense()), H0,
+                               rtol=1e-12, atol=1e-12)
+    nnz_true = (H0 != 0).sum()
+    assert int(coo.nnz) == nnz_true
