@@ -29,7 +29,11 @@ def _common(sub):
     sub.add_argument("--kkt-tol", type=float, default=1e-6)
     sub.add_argument("--seed", type=int, default=0)
     sub.add_argument("--fp32", action="store_true",
-                     help="force fp32 (default on TPU)")
+                     help="force fp32 storage (not recommended; the TPU "
+                          "default is f64 state + fp32 solver)")
+    sub.add_argument("--solve-dtype", default=None,
+                     help="inner-solver dtype (float32 enables the mixed-"
+                          "precision MXU path; default: float32 on TPU)")
     sub.add_argument("--log", help="JSONL per-iteration record path")
     sub.add_argument("--plot", help="PNG plot prefix")
     sub.add_argument("--checkpoint", help="checkpoint directory (orbax)")
@@ -39,15 +43,16 @@ def _common(sub):
 def _setup_jax(args):
     import jax
 
-    platform = jax.default_backend()
-    if platform == "cpu" and not args.fp32:
+    if not args.fp32:
         jax.config.update("jax_enable_x64", True)
-        import jax.numpy as jnp
-
-        return jnp.float64
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
-    return jnp.float32
+    return jnp.float32 if args.fp32 else jnp.float64
 
 
 def _opts(args, class2=False):
@@ -57,11 +62,14 @@ def _opts(args, class2=False):
     ssn_tol1 = 1e-10 if class2 else 1e-11
     import jax
 
-    if jax.default_backend() != "cpu" or args.fp32:
-        ssn_tol1 = max(ssn_tol1, 1e-7)  # fp32 floor
+    if args.fp32:
+        ssn_tol1 = max(ssn_tol1, 1e-7)  # fp32-storage floor
+    solve_dtype = args.solve_dtype
+    if solve_dtype is None and jax.default_backend() != "cpu":
+        solve_dtype = "float32"  # mixed-precision MXU path
     return APDOptions(maxit=args.maxit, kkt_tol=args.kkt_tol,
                       inner_solver=inner, ssn_tol1=ssn_tol1,
-                      seed=args.seed)
+                      seed=args.seed, solve_dtype=solve_dtype)
 
 
 def cmd_class1(args) -> int:

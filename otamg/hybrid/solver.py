@@ -150,11 +150,14 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
         # (Hybrid_AMG.m:69).
         guess = jnp.asarray(bk1 * tk, lo) * jax.random.uniform(
             kguess, f.shape, dtype=lo)
-        r = amg_solve(lv1, dense, f.astype(lo), guess, opts)
-        u = r.x.astype(hi)
-        iters = r.iters
         if not mixed:
-            return q0 * u, iters, r.rel_res
+            r = amg_solve(lv1, dense, f.astype(lo), guess, opts)
+            return q0 * r.x, r.iters, r.rel_res
+        # Mixed path: the "initial solve" is just refinement round 0
+        # starting from the guess — one amg_solve call site keeps the
+        # compiled program small.
+        u = guess.astype(hi)
+        iters = jnp.int32(0)
 
         def kernel_correct(u):
             rr = f - ae_hi(u)
