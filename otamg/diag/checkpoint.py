@@ -23,24 +23,49 @@ class APDState(NamedTuple):
     k: int
 
 
-def save_state(path: str, state: APDState) -> str:
+def save_dict(path: str, step: int, tree: dict) -> str:
+    """Persist a flat dict of arrays for outer-iteration ``step``."""
     os.makedirs(path, exist_ok=True)
     try:
         import orbax.checkpoint as ocp
 
         ckpt = ocp.StandardCheckpointer()
-        target = os.path.join(os.path.abspath(path), f"step_{state.k}")
-        ckpt.save(target, dict(X=state.X, V=state.V, lam=state.lam,
-                               bk=state.bk, key=state.key,
-                               k=np.int64(state.k)), force=True)
+        target = os.path.join(os.path.abspath(path), f"step_{step}")
+        ckpt.save(target, dict(tree, k=np.int64(step)), force=True)
         ckpt.wait_until_finished()
         return target
     except Exception:
-        target = os.path.join(path, f"step_{state.k}.npz")
-        np.savez(target, X=np.asarray(state.X), V=np.asarray(state.V),
-                 lam=np.asarray(state.lam), bk=np.asarray(state.bk),
-                 key=np.asarray(state.key), k=state.k)
+        target = os.path.join(path, f"step_{step}.npz")
+        np.savez(target, k=step,
+                 **{k: np.asarray(v) for k, v in tree.items()})
         return target
+
+
+def load_dict(path: str, step: Optional[int] = None) -> dict:
+    import jax.numpy as jnp
+
+    if step is None:
+        step = latest_step(path)
+        if step is None:
+            raise FileNotFoundError(f"no checkpoints under {path}")
+    npz = os.path.join(path, f"step_{step}.npz")
+    if os.path.exists(npz):
+        d = np.load(npz)
+        out = {k: jnp.asarray(d[k]) for k in d.files if k != "k"}
+        out["k"] = int(d["k"])
+        return out
+    import orbax.checkpoint as ocp
+
+    ckpt = ocp.StandardCheckpointer()
+    d = ckpt.restore(os.path.join(os.path.abspath(path), f"step_{step}"))
+    d["k"] = int(d["k"])
+    return d
+
+
+def save_state(path: str, state: APDState) -> str:
+    return save_dict(path, state.k, dict(X=state.X, V=state.V,
+                                         lam=state.lam, bk=state.bk,
+                                         key=state.key))
 
 
 def latest_step(path: str) -> Optional[int]:
@@ -54,24 +79,8 @@ def latest_step(path: str) -> Optional[int]:
 
 
 def load_state(path: str, step: Optional[int] = None) -> APDState:
-    import jax.numpy as jnp
-
-    if step is None:
-        step = latest_step(path)
-        if step is None:
-            raise FileNotFoundError(f"no checkpoints under {path}")
-    npz = os.path.join(path, f"step_{step}.npz")
-    if os.path.exists(npz):
-        d = np.load(npz)
-        return APDState(jnp.asarray(d["X"]), jnp.asarray(d["V"]),
-                        jnp.asarray(d["lam"]), jnp.asarray(d["bk"]),
-                        jnp.asarray(d["key"]), int(d["k"]))
-    import orbax.checkpoint as ocp
-
-    ckpt = ocp.StandardCheckpointer()
-    d = ckpt.restore(os.path.join(os.path.abspath(path), f"step_{step}"))
-    return APDState(d["X"], d["V"], d["lam"], d["bk"], d["key"],
-                    int(d["k"]))
+    d = load_dict(path, step)
+    return APDState(d["X"], d["V"], d["lam"], d["bk"], d["key"], d["k"])
 
 
 def save_result(path: str, res) -> str:

@@ -279,7 +279,10 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
 def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
                  solver: NewtonSolver | None = None,
-                 verbose: bool = False) -> Solve2Result:
+                 verbose: bool = False,
+                 checkpoint_dir: str | None = None,
+                 checkpoint_every: int = 10,
+                 resume: bool = False) -> Solve2Result:
     """End-to-end Class-2 solve to relative KKT <= 1e-6
     (``Class2/APD_SsN_Class2.m:27,276-280``)."""
     if opts is None:
@@ -302,6 +305,15 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     step = make_class2_step(prob, opts, solver)
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
+    k_start = 1
+    if resume and checkpoint_dir is not None:
+        from otamg.diag import checkpoint as ckpt
+
+        if ckpt.latest_step(checkpoint_dir) is not None:
+            d = ckpt.load_dict(checkpoint_dir)
+            X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
+            lam, bk, key = d["lam"], d["bk"], d["key"]
+            k_start = d["k"] + 1
 
     kkt_hist = [kkt0]
     fxk = [float(jnp.vdot(C, X))]
@@ -310,7 +322,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     converged = False
     k_final = opts.maxit
 
-    for k in range(1, opts.maxit + 1):
+    for k in range(k_start, opts.maxit + 1):
         resk_prev = jnp.asarray(kkt_hist[-1].max(), dtype)
         X, us, VX, vs, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
@@ -325,6 +337,12 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         restarts.append(bool(mtr.restarted))
         fail_total += int(mtr.fail)
         rr = (kk / (1 + kkt0)).max()
+        if checkpoint_dir is not None and k % checkpoint_every == 0:
+            from otamg.diag import checkpoint as ckpt
+
+            ckpt.save_dict(checkpoint_dir, k,
+                           dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
+                                bk=bk, key=key))
         if verbose:
             print(f"APD2 it={k:3d} kkt={kk[0]:.2e}/{kk[1]:.2e}/"
                   f"{kk[2]:.2e}/{kk[3]:.2e} fk={fxk[-1]:.6e} "

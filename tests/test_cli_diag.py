@@ -69,3 +69,24 @@ def test_solver_report_and_plot(tmp_path):
     paths = plot_run(res, str(tmp_path / "run"))
     for p in paths:
         assert os.path.exists(p)
+
+
+def test_checkpoint_resume_class2(tmp_path):
+    from otamg.opt.apd2 import solve_class2
+    from otamg.ot import random_class2
+
+    prob = random_class2(jax.random.PRNGKey(8), 12, 10, mu_frac=0.5)
+    base = APDOptions(ssn_tol1=1e-10, inner_solver=InnerSolver.AUG_PCG)
+    full = solve_class2(prob, APDOptions(ssn_tol1=1e-10, maxit=16,
+                                         kkt_tol=1e-30,
+                                         inner_solver=InnerSolver.AUG_PCG))
+    ck = str(tmp_path / "ck2")
+    solve_class2(prob, APDOptions(ssn_tol1=1e-10, maxit=8, kkt_tol=1e-30,
+                                  inner_solver=InnerSolver.AUG_PCG),
+                 checkpoint_dir=ck, checkpoint_every=4)
+    resumed = solve_class2(prob, APDOptions(ssn_tol1=1e-10, maxit=16,
+                                            kkt_tol=1e-30,
+                                            inner_solver=InnerSolver.AUG_PCG),
+                           checkpoint_dir=ck, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X),
+                               rtol=1e-10, atol=1e-12)
