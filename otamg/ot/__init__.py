@@ -4,6 +4,8 @@ from otamg.ot.problems import (  # noqa: F401
     Class2Problem,
     load_class1_mat,
     load_class2_mat,
+    assignment_problem,
+    capacitated_problem,
     random_class1,
     random_class2,
 )

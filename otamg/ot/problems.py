@@ -146,6 +146,29 @@ def random_class1(key: jax.Array, m: int, n: int, dtype=jnp.float64,
                          gama=jnp.asarray(gama, dtype))
 
 
+def assignment_problem(key: jax.Array, n: int,
+                       dtype=jnp.float64) -> Class1Problem:
+    """Assignment problem (reference header case 1,
+    ``Class1/APD_SsN_Class1.m:12``): ``gama = inf, r = 1_n, l = 1_m``."""
+    C = jax.random.uniform(key, (n, n), dtype=dtype)
+    ones = jnp.ones((n,), dtype)
+    return Class1Problem(C=C, r=ones, l=ones, p=ones, q=ones,
+                         gama=jnp.asarray(np.inf, dtype))
+
+
+def capacitated_problem(key: jax.Array, m: int, n: int,
+                        cap_scale: float = 2.0,
+                        dtype=jnp.float64) -> Class1Problem:
+    """Capacity-constrained mass transport (reference header case 3,
+    ``Class1/APD_SsN_Class1.m:14``): finite elementwise capacity set to
+    ``cap_scale`` times the product-coupling level, so it binds."""
+    base = random_class1(key, m, n, dtype=dtype)
+    mass = jnp.sum(base.r)
+    level = jnp.max(jnp.outer(base.l, base.r)) / mass
+    return Class1Problem(C=base.C, r=base.r, l=base.l, p=base.p, q=base.q,
+                         gama=jnp.full((m, n), cap_scale * level, dtype))
+
+
 def random_class2(key: jax.Array, m: int, n: int, dtype=jnp.float64,
                   mu_frac: float | None = None) -> Class2Problem:
     """Synthetic partial-OT instance (recipe of

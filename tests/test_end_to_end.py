@@ -116,3 +116,16 @@ def test_warmup_consistency():
     ws2 = warmup_class2(prob2, 100)
     for a in (ws2.X, ws2.y, ws2.z, ws2.lam):
         assert bool(jnp.all(jnp.isfinite(a)))
+
+
+def test_assignment_problem():
+    from otamg.ot import assignment_problem
+
+    prob = assignment_problem(jax.random.PRNGKey(2), 16)
+    res = solve_class1(prob, APDOptions(inner_solver=InnerSolver.AMG))
+    assert res.converged
+    # assignment LP optimum: compare against scipy's Hungarian solver
+    from scipy.optimize import linear_sum_assignment
+    C = np.asarray(prob.C)
+    ri, ci = linear_sum_assignment(C)
+    assert abs(res.fxk[-1] - C[ri, ci].sum()) < 1e-4
