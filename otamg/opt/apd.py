@@ -125,7 +125,8 @@ def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
 
 def make_class1_step(prob: Class1Problem, opts: APDOptions,
                      solver: NewtonSolver | None = None,
-                     capacitated: bool | None = None):
+                     capacitated: bool | None = None,
+                     fused: bool = False):
     """Build the jitted APD outer step ``(k, X, V, lam, bk, key,
     resk_prev) -> (X, V, lam, bk, key, metrics)``."""
     p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
@@ -272,6 +273,8 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
             fail=ssn.fail, restarted=restart)
         return X1, V1, lam1, bk1, key, metrics
 
+    if fused:
+        return outer_step
     return jax.jit(outer_step)
 
 
@@ -366,3 +369,91 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
         wall_time=time.perf_counter() - t0)
+
+
+def solve_class1_fused(prob: Class1Problem,
+                       opts: APDOptions = APDOptions(),
+                       solver: NewtonSolver | None = None,
+                       warm: tuple | None = None) -> SolveResult:
+    """Whole-solve-on-device variant of :func:`solve_class1`: warm start +
+    the full APD loop run as a single jitted ``lax.while_loop`` with
+    on-device convergence checks — one host round trip for the entire
+    solve (the TPU-native serving path; the Python-loop driver remains for
+    logging/checkpoint workflows)."""
+    t0 = time.perf_counter()
+    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
+    b = prob.b
+    dtype = C.dtype
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+    step = make_class1_step(prob, opts, solver, fused=True)
+    maxit = opts.maxit
+
+    @jax.jit
+    def run(key):
+        if warm is None:
+            ws = warmup_class1(prob, opts.warmup.maxit)
+            X, lam = ws.X, ws.lam
+        else:
+            X, lam = warm
+        lam = lam.astype(hi)
+        V = X
+        kx0, kl0 = op.kkt_class1(X, lam, C, b, p, q, gama, acc)
+        kkt_norm0 = jnp.stack([kx0, kl0]).astype(dtype)
+
+        rec_kx = jnp.zeros(maxit + 1, hi).at[0].set(kx0)
+        rec_kl = jnp.zeros(maxit + 1, hi).at[0].set(kl0)
+        rec_fx = jnp.zeros(maxit + 1, hi).at[0].set(
+            op.vdot_hi(C, X, acc))
+        rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
+        rec_imax = jnp.zeros(maxit + 1, jnp.int32)
+        rec_restart = jnp.zeros(maxit + 1, bool)
+
+        def cond(c):
+            (k, X, V, lam, bk, key, resk, done, fail, *_recs) = c
+            return jnp.logical_not(done)
+
+        def body(c):
+            (k, X, V, lam, bk, key, resk, done, fail,
+             rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_restart) = c
+            X1, V1, lam1, bk1, key, mtr = step(
+                k, X, V, lam, bk, key, resk, kkt_norm0)
+            rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
+            done = jnp.logical_or(rr <= opts.kkt_tol, k >= maxit)
+            resk1 = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
+            rec_kx = rec_kx.at[k].set(mtr.kkt_x.astype(hi))
+            rec_kl = rec_kl.at[k].set(mtr.kkt_l.astype(hi))
+            rec_fx = rec_fx.at[k].set(mtr.fxk.astype(hi))
+            rec_ssn = rec_ssn.at[k].set(mtr.ssn_it)
+            rec_imax = rec_imax.at[k].set(mtr.it_max)
+            rec_restart = rec_restart.at[k].set(mtr.restarted)
+            return (k + 1, X1, V1, lam1, bk1, key, resk1, done,
+                    fail + mtr.fail, rec_kx, rec_kl, rec_fx, rec_ssn,
+                    rec_imax, rec_restart)
+
+        resk0 = jnp.maximum(kx0, kl0).astype(dtype)
+        init = (jnp.int32(1), X, V, lam, jnp.asarray(1.0, dtype), key,
+                resk0, jnp.bool_(False), jnp.int32(0),
+                rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_restart)
+        (k, X, V, lam, bk, key, resk, done, fail,
+         rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
+         rec_restart) = lax.while_loop(cond, body, init)
+        return (k - 1, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn,
+                rec_imax, rec_restart)
+
+    (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
+     rec_restart) = run(jax.random.PRNGKey(opts.seed))
+    iters = int(k)
+    kx = np.asarray(rec_kx)[: iters + 1]
+    kl = np.asarray(rec_kl)[: iters + 1]
+    rr = max(kx[-1] / (1 + kx[0]), kl[-1] / (1 + kl[0]))
+    imax = np.asarray(rec_imax)[1: iters + 1]
+    itnum = np.stack([imax, imax, imax], axis=1)
+    return SolveResult(
+        X=X, lam=lam, converged=bool(rr <= opts.kkt_tol), iters=iters,
+        kkt_x=kx, kkt_l=kl, fxk=np.asarray(rec_fx)[: iters + 1],
+        ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
+        solver_itnum=itnum,
+        restarts=np.asarray(rec_restart)[1: iters + 1],
+        fail_count=int(fail), wall_time=time.perf_counter() - t0)
