@@ -129,3 +129,16 @@ def test_assignment_problem():
     C = np.asarray(prob.C)
     ri, ci = linear_sum_assignment(C)
     assert abs(res.fxk[-1] - C[ri, ci].sum()) < 1e-4
+
+
+def test_fused_driver_matches_loop(c1_prob):
+    from otamg.opt.apd import solve_class1_fused
+
+    opts = APDOptions(inner_solver=InnerSolver.AMG)
+    r1 = solve_class1(c1_prob, opts)
+    r2 = solve_class1_fused(c1_prob, opts)
+    assert r2.converged == r1.converged
+    assert r2.iters == r1.iters
+    np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(r2.X), np.asarray(r1.X),
+                               rtol=1e-10, atol=1e-14)
