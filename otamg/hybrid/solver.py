@@ -153,43 +153,62 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
         if not mixed:
             r = amg_solve(lv1, dense, f.astype(lo), guess, opts)
             return q0 * r.x, r.iters, r.rel_res
-        # Mixed path: the "initial solve" is just refinement round 0
-        # starting from the guess — one amg_solve call site keeps the
-        # compiled program small.
-        u = guess.astype(hi)
-        iters = jnp.int32(0)
 
-        def kernel_correct(u):
-            rr = f - ae_hi(u)
-            num = jax.ops.segment_sum(rr * nsp_f, labels, num_segments=N)
-            delta = jnp.where(den[labels] > 0,
-                              num[labels] / safe_den[labels], 0.0)
-            return u + delta * nsp_f
-
-        # Adaptive refinement: iterate until the f64 relative residual
-        # meets the reference tolerance (retol, Class_AMG.m:95) or the
-        # round budget runs out; each round gains ~fp32-solve digits.
+        # Mixed path, in *deflated coordinates*: u = Y a + w, with a the
+        # per-component kernel coordinate (Q-weighted mean on the near-
+        # singular components) and w kernel-free.  As bk1 -> 0 the true a
+        # grows like xi^T f / bk1; evaluating Ae u on such u cancels
+        # O(|a| * a0diag/tk) terms catastrophically even in f64, so all
+        # residual algebra is done on (a, w):
+        #   a(w)   = (xi^T f - bk1 xi^T Q w) / (bk1 xi^T Q xi)   [exact]
+        #   r(a,w) = f - bk1 Q Y a - Ae w                        [no huge
+        #            intermediate: w stays range-sized]
         nf = jnp.linalg.norm(f)
         safe_nf = jnp.where(nf > 0, nf, 1.0)
         target = jnp.asarray(opts.retol, hi)
         zeros_lo = jnp.zeros(N, lo)
+        segf = jax.ops.segment_sum(f * nsp_f, labels, num_segments=N)
+
+        def deflate(w):
+            mean = jax.ops.segment_sum(qp2 * w * nsp_f, labels,
+                                       num_segments=N)
+            mean = jnp.where(qsum > 0, mean / jnp.where(qsum > 0, qsum,
+                                                        1.0), 0.0)
+            return w - jnp.where(nsp, mean[labels], 0.0) * nsp_f
+
+        def a_of(w):
+            segw = jax.ops.segment_sum(qp2 * w * nsp_f, labels,
+                                       num_segments=N)
+            a = jnp.where(den > 0, (segf - bk1 * segw) / safe_den, 0.0)
+            return jnp.where(nsp, a[labels], 0.0)
+
+        def residual(w):
+            wd = deflate(w)
+            a = a_of(wd)
+            r = f - bk1 * qp2 * a * nsp_f - ae_hi(wd)
+            return wd, a, r
 
         def refine_cond(c):
-            u, rel, rounds, its = c
+            w, rel, rounds, its = c
             return jnp.logical_and(rel > target, rounds < refine)
 
         def refine_body(c):
-            u, _, rounds, its = c
-            resid = f - ae_hi(u)
-            cor = amg_solve(lv1, dense, resid.astype(lo), zeros_lo, opts)
-            u = kernel_correct(u + cor.x.astype(hi))
-            rel = jnp.linalg.norm(f - ae_hi(u)) / safe_nf
-            return u, rel, rounds + 1, jnp.maximum(its, cor.iters)
+            w, _, rounds, its = c
+            wd, a, r = residual(w)
+            cor = amg_solve(lv1, dense, r.astype(lo), zeros_lo, opts)
+            w2 = wd + cor.x.astype(hi)
+            _, _, r2 = residual(w2)
+            rel = jnp.linalg.norm(r2) / safe_nf
+            return w2, rel, rounds + 1, jnp.maximum(its, cor.iters)
 
-        u = kernel_correct(u)
-        rel0 = jnp.linalg.norm(f - ae_hi(u)) / safe_nf
-        u, rel, _, iters = lax.while_loop(
-            refine_cond, refine_body, (u, rel0, jnp.int32(0), iters))
+        w0 = guess.astype(hi)
+        _, _, r0 = residual(w0)
+        rel0 = jnp.linalg.norm(r0) / safe_nf
+        w, rel, _, iters = lax.while_loop(
+            refine_cond, refine_body,
+            (w0, rel0, jnp.int32(0), jnp.int32(0)))
+        wd, a, _ = residual(w)
+        u = wd + a
         return q0 * u, iters, rel
 
     return he_solve, ncomp

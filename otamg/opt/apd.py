@@ -195,7 +195,11 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 
             def ls_cond(carry):
                 ll, step, lam_t, Z_t, cF_new = carry
-                return jnp.logical_and(cF_new > cF_old - opts.nu * step * ress,
+                # NaN-safe Armijo: treat a non-finite merit as "not yet
+                # acceptable" so overflowing trial steps keep backtracking
+                # (a NaN would otherwise exit the loop and be accepted).
+                ok = cF_new <= cF_old - opts.nu * step * ress
+                return jnp.logical_and(jnp.logical_not(ok),
                                        ll < opts.ll_max)
 
             def ls_body(carry):
