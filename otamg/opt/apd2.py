@@ -129,7 +129,8 @@ def _make_arrow_pcg_solver(p, q, Phi, opts: APDOptions) -> NewtonSolver:
 
 
 def make_class2_step(prob: Class2Problem, opts: APDOptions,
-                     solver: NewtonSolver | None = None):
+                     solver: NewtonSolver | None = None,
+                     fused: bool = False):
     p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
     b = prob.b
@@ -198,9 +199,10 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
             def ls_cond(carry):
                 ll, step, *_, cF_new = carry
-                return jnp.logical_and(
-                    cF_new > cF_old - opts.nu * step * ress,
-                    ll < opts.ll_max)
+                # NaN-safe: non-finite merits keep backtracking.
+                ok = cF_new <= cF_old - opts.nu * step * ress
+                return jnp.logical_and(jnp.logical_not(ok),
+                                       ll < opts.ll_max)
 
             def ls_body(carry):
                 ll, step, *_ = carry
@@ -274,6 +276,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
             fail=ssn.fail, restarted=restart)
         return X1, us1, VX1, vs1, lam1, bk1, key, metrics
 
+    if fused:
+        return outer_step
     return jax.jit(outer_step)
 
 
@@ -360,3 +364,78 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
         wall_time=time.perf_counter() - t0)
+
+
+def solve_class2_fused(prob: Class2Problem,
+                       opts: APDOptions | None = None,
+                       solver: NewtonSolver | None = None) -> Solve2Result:
+    """Whole-solve-on-device Class-2 driver (see
+    :func:`otamg.opt.apd.solve_class1_fused`)."""
+    if opts is None:
+        opts = APDOptions(ssn_tol1=1e-10)
+    t0 = time.perf_counter()
+    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
+    m, n = prob.m, prob.n
+    b = prob.b
+    dtype = C.dtype
+    step = make_class2_step(prob, opts, solver, fused=True)
+    maxit = opts.maxit
+
+    @jax.jit
+    def run(key):
+        ws = warmup_class2(prob, opts.warmup.maxit)
+        X = ws.X
+        us = jnp.concatenate([ws.y, ws.z])
+        lam = ws.lam
+        VX, vs = X, us
+        k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi)
+        kkt_norm0 = jnp.stack(k0)
+
+        rec_kkt = jnp.zeros((maxit + 1, 4), dtype).at[0].set(kkt_norm0)
+        rec_fx = jnp.zeros(maxit + 1, dtype).at[0].set(jnp.vdot(C, X))
+        rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
+        rec_imax = jnp.zeros(maxit + 1, jnp.int32)
+        rec_restart = jnp.zeros(maxit + 1, bool)
+
+        def cond(c):
+            return jnp.logical_not(c[7])
+
+        def body(c):
+            (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
+             rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart) = c
+            X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
+                k, X, us, VX, vs, lam, bk, key, resk, kkt_norm0)
+            kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
+            rr = jnp.max(kk / (1 + kkt_norm0))
+            done = jnp.logical_or(rr <= opts.kkt_tol, k >= maxit)
+            return (k + 1, X1, us1, VX1, vs1, lam1, bk1, done, key,
+                    jnp.max(kk), fail + mtr.fail,
+                    rec_kkt.at[k].set(kk), rec_fx.at[k].set(mtr.fxk),
+                    rec_ssn.at[k].set(mtr.ssn_it),
+                    rec_imax.at[k].set(mtr.it_max),
+                    rec_restart.at[k].set(mtr.restarted))
+
+        init = (jnp.int32(1), X, us, VX, vs, lam,
+                jnp.asarray(1.0, dtype), jnp.bool_(False), key,
+                jnp.max(kkt_norm0), jnp.int32(0),
+                rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart)
+        out = lax.while_loop(cond, body, init)
+        (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
+         rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart) = out
+        return (k - 1, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn,
+                rec_imax, rec_restart, kkt_norm0)
+
+    (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imax,
+     rec_restart, kkt_norm0) = run(jax.random.PRNGKey(opts.seed))
+    iters = int(k)
+    kkt = np.asarray(rec_kkt)[: iters + 1]
+    rr = (kkt[-1] / (1 + kkt[0])).max()
+    imax = np.asarray(rec_imax)[1: iters + 1]
+    return Solve2Result(
+        X=X, y=us[:n], z=us[n:], lam=lam,
+        converged=bool(rr <= opts.kkt_tol), iters=iters, kkt=kkt,
+        fxk=np.asarray(rec_fx)[: iters + 1],
+        ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
+        solver_itnum=np.stack([imax, imax, imax], axis=1),
+        restarts=np.asarray(rec_restart)[1: iters + 1],
+        fail_count=int(fail), wall_time=time.perf_counter() - t0)
