@@ -39,7 +39,8 @@ def main():
     solve_dtype = None if platform == "cpu" else "float32"
 
     from otamg.config import APDOptions, InnerSolver
-    from otamg.opt.apd import solve_class1_fused as solve_class1
+    from otamg.opt import solve_class1  # loop driver: the fused
+    # whole-solve program currently faults the axon TPU worker at runtime
     from otamg.ot import load_class1_mat, random_class1
 
     try:
