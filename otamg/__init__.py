@@ -28,7 +28,7 @@ Design principles (why this is not a port):
   maps onto the TPU MXU.  The Newton system is a bipartite graph Laplacian
   over ``m + n`` nodes whose off-diagonal block is an ``m x n`` masked dense
   matrix — the fine AMG level therefore uses a *structured masked-dense*
-  representation (``otamg.sparse.bipartite``) instead of CSR.
+  representation (``otamg.amg.hierarchy``) instead of CSR.
 * Coarse AMG levels use capacity-padded dense matrices so every level has a
   static shape and the whole multigrid hierarchy (setup + W-cycles) compiles
   into a single XLA program: no host round-trips inside a Newton solve.

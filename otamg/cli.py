@@ -46,8 +46,14 @@ def _setup_jax(args):
     if not args.fp32:
         jax.config.update("jax_enable_x64", True)
     try:
+        import os
+
+        import otamg
+
+        root = os.path.dirname(os.path.dirname(os.path.abspath(
+            otamg.__file__)))
         jax.config.update("jax_compilation_cache_dir",
-                          "/root/repo/.jax_cache")
+                          os.path.join(root, ".jax_cache"))
     except Exception:
         pass
     import jax.numpy as jnp
@@ -85,16 +91,18 @@ def cmd_class1(args) -> int:
     else:
         prob = random_class1(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype)
-    res = solve_class1(prob, _opts(args), verbose=args.verbose)
+    res = solve_class1(prob, _opts(args), verbose=args.verbose,
+                       checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:
-        with open(args.log, "w") as fh:
-            for k in range(len(res.kkt_x)):
-                fh.write(json.dumps({
-                    "it": k, "kkt_x": float(res.kkt_x[k]),
-                    "kkt_l": float(res.kkt_l[k]),
-                    "fxk": float(res.fxk[k])}) + "\n")
+        from otamg.diag.metrics import RunLog
+
+        log = RunLog(args.log)
+        for k in range(len(res.kkt_x)):
+            log.log(it=k, kkt_x=float(res.kkt_x[k]),
+                    kkt_l=float(res.kkt_l[k]), fxk=float(res.fxk[k]))
+        log.close()
     if args.plot:
         for p in plot_run(res, args.plot):
             print(f"wrote {p}", file=sys.stderr)
@@ -119,9 +127,19 @@ def cmd_class2(args) -> int:
         prob = random_class2(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype, mu_frac=args.mu_frac)
     res = solve_class2(prob, _opts(args, class2=True),
-                       verbose=args.verbose)
+                       verbose=args.verbose,
+                       checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
+    if args.log:
+        from otamg.diag.metrics import RunLog
+
+        log = RunLog(args.log)
+        for k in range(res.kkt.shape[0]):
+            log.log(it=k, kkt_x=float(res.kkt[k, 0]),
+                    kkt_y=float(res.kkt[k, 1]), kkt_z=float(res.kkt[k, 2]),
+                    kkt_l=float(res.kkt[k, 3]), fxk=float(res.fxk[k]))
+        log.close()
     if args.plot:
         for p in plot_run(res, args.plot):
             print(f"wrote {p}", file=sys.stderr)

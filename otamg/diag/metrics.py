@@ -50,7 +50,7 @@ def solver_report(res) -> dict[str, Any]:
         "objective": float(res.fxk[-1]),
         "ssn_total": int(np.sum(res.ssn_itnum)) if len(res.ssn_itnum) else 0,
         "inner_max": int(itnum[valid, 2].max()) if valid.any() else 0,
-        "inner_sum": int(itnum[valid, 1].sum()) if valid.any() else 0,
+        "inner_sum": int(getattr(res, "inner_total", 0)),
         "fail_count": int(res.fail_count),
         "restarts": int(np.sum(res.restarts)) if len(res.restarts) else 0,
     }

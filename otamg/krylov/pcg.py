@@ -14,7 +14,7 @@ expressed in JAX instead of MATLAB's sparse-matrix polymorphism.
 The preconditioner menu of ``PCG.m:34-66`` is provided by
 :func:`make_preconditioner` for explicit dense matrices; structured callers
 build their own closures (e.g. the closed-form bi-SSOR inverse for the
-bipartite Laplacian lives in :mod:`otamg.sparse.bipartite`).
+bipartite Laplacian lives in :mod:`otamg.amg.hierarchy`).
 """
 
 from __future__ import annotations

@@ -58,6 +58,7 @@ class OuterMetrics(NamedTuple):
     it_min: jax.Array
     it_avg: jax.Array
     it_max: jax.Array
+    it_sum: jax.Array
     fail: jax.Array
     restarted: jax.Array
 
@@ -76,6 +77,7 @@ class SolveResult:
     restarts: np.ndarray
     fail_count: int
     wall_time: float
+    inner_total: int = 0   # total inner-solver iterations (SumAMG role)
 
 
 def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool, acc=None):
@@ -274,7 +276,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
             kkt_x=kx, kkt_l=kl, fxk=fxk, ssn_it=ssn.it,
             it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
             it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
-            fail=ssn.fail, restarted=restart)
+            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart)
         return X1, V1, lam1, bk1, key, metrics
 
     if fused:
@@ -334,6 +336,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     fail_total = 0
+    inner_total = 0
     converged = False
     k_final = opts.maxit
 
@@ -350,6 +353,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
                              int(mtr.it_max)))
         restarts.append(bool(mtr.restarted))
         fail_total += int(mtr.fail)
+        inner_total += int(mtr.it_sum)
         rr = max(kkt_x[-1] / (1 + kx0), kkt_l[-1] / (1 + kl0))
         if verbose:
             print(f"APD it={k:3d} kkt_x={kkt_x[-1]:.2e} "
@@ -372,7 +376,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         fxk=np.asarray(fxk), ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total)
 
 
 def solve_class1_fused(prob: Class1Problem,
@@ -412,6 +416,7 @@ def solve_class1_fused(prob: Class1Problem,
             op.vdot_hi(C, X, acc))
         rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
+        rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
 
         def cond(c):
@@ -420,7 +425,8 @@ def solve_class1_fused(prob: Class1Problem,
 
         def body(c):
             (k, X, V, lam, bk, key, resk, done, fail,
-             rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_restart) = c
+             rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
+             rec_restart) = c
             X1, V1, lam1, bk1, key, mtr = step(
                 k, X, V, lam, bk, key, resk, kkt_norm0)
             rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
@@ -431,23 +437,25 @@ def solve_class1_fused(prob: Class1Problem,
             rec_fx = rec_fx.at[k].set(mtr.fxk.astype(hi))
             rec_ssn = rec_ssn.at[k].set(mtr.ssn_it)
             rec_imax = rec_imax.at[k].set(mtr.it_max)
+            rec_isum = rec_isum.at[k].set(mtr.it_sum)
             rec_restart = rec_restart.at[k].set(mtr.restarted)
             return (k + 1, X1, V1, lam1, bk1, key, resk1, done,
                     fail + mtr.fail, rec_kx, rec_kl, rec_fx, rec_ssn,
-                    rec_imax, rec_restart)
+                    rec_imax, rec_isum, rec_restart)
 
         resk0 = jnp.maximum(kx0, kl0).astype(dtype)
         init = (jnp.int32(1), X, V, lam, jnp.asarray(1.0, dtype), key,
                 resk0, jnp.bool_(False), jnp.int32(0),
-                rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_restart)
+                rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
+                rec_restart)
         (k, X, V, lam, bk, key, resk, done, fail,
-         rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
+         rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
          rec_restart) = lax.while_loop(cond, body, init)
         return (k - 1, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn,
-                rec_imax, rec_restart)
+                rec_imax, rec_isum, rec_restart)
 
     (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
-     rec_restart) = run(jax.random.PRNGKey(opts.seed))
+     rec_isum, rec_restart) = run(jax.random.PRNGKey(opts.seed))
     iters = int(k)
     kx = np.asarray(rec_kx)[: iters + 1]
     kl = np.asarray(rec_kl)[: iters + 1]
@@ -460,4 +468,5 @@ def solve_class1_fused(prob: Class1Problem,
         ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
         solver_itnum=itnum,
         restarts=np.asarray(rec_restart)[1: iters + 1],
-        fail_count=int(fail), wall_time=time.perf_counter() - t0)
+        fail_count=int(fail), wall_time=time.perf_counter() - t0,
+        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()))

@@ -283,17 +283,28 @@ def spgemm(A: COO, B: CSR, out_capacity: int) -> COO:
     """
     cap_a = A.capacity
     R = B.row_cap
-    valid = (jnp.arange(cap_a) < A.nnz)[:, None]
+    # A product slot is valid only when BOTH the A entry and the B ELL
+    # slot are real — padded B slots (beyond the row's count) would
+    # otherwise create spurious zero-valued groups at (i, 0) that displace
+    # real trailing entries under a tight out_capacity.
+    a_valid = (jnp.arange(cap_a) < A.nnz)[:, None]
+    b_counts = B.indptr[1:] - B.indptr[:-1]
+    b_valid = (jnp.arange(R)[None, :]
+               < b_counts[A.cols][:, None])
+    valid = jnp.logical_and(a_valid, b_valid)
     bcols = B.ell_cols[A.cols]                  # (capA, R)
     bvals = B.ell_vals[A.cols]
     rows = jnp.broadcast_to(A.rows[:, None], (cap_a, R))
-    vals = A.vals[:, None] * bvals
-    vals = jnp.where(valid, vals, 0)
+    vals = jnp.where(valid, A.vals[:, None] * bvals, 0)
     rows = jnp.where(valid, rows, 0)
     cols = jnp.where(valid, bcols, 0)
+    # pack valid products to the front so the COO nnz bound is exact
+    flat_valid = valid.reshape(-1)
+    order = jnp.argsort(jnp.logical_not(flat_valid), stable=True)
+    nvalid = jnp.sum(flat_valid).astype(jnp.int32)
     expanded = COO((A.shape[0], B.shape[1]),
-                   rows.reshape(-1), cols.reshape(-1), vals.reshape(-1),
-                   jnp.asarray(cap_a * R, jnp.int32))
+                   rows.reshape(-1)[order], cols.reshape(-1)[order],
+                   vals.reshape(-1)[order], nvalid)
     merged = expanded.sum_duplicates()
     # shrink to the requested capacity (entries are canonically ordered)
     return COO(merged.shape, merged.rows[:out_capacity],

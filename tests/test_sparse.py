@@ -138,3 +138,18 @@ def test_asat_coo_vs_dense():
                                rtol=1e-12, atol=1e-12)
     nnz_true = (H0 != 0).sum()
     assert int(coo.nnz) == nnz_true
+
+
+def test_spgemm_tight_capacity():
+    """Regression: tight out_capacity must not displace real entries with
+    spurious zero-valued groups from padded B slots."""
+    rng = np.random.default_rng(5)
+    A = rand_sparse(rng, 12, 9, 0.3)
+    B = rand_sparse(rng, 9, 14, 0.3)
+    true_nnz = int(((A @ B) != 0).sum())
+    Ac = COO.from_dense(jnp.asarray(A))
+    Bc = CSR.from_dense(jnp.asarray(B), row_cap=14)
+    C = spgemm(Ac, Bc, out_capacity=true_nnz)
+    np.testing.assert_allclose(np.asarray(C.to_dense()), A @ B,
+                               rtol=1e-12, atol=1e-12)
+    assert int(C.nnz) == true_nnz
