@@ -142,3 +142,13 @@ def test_fused_driver_matches_loop(c1_prob):
     np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
     np.testing.assert_allclose(np.asarray(r2.X), np.asarray(r1.X),
                                rtol=1e-10, atol=1e-14)
+
+
+def test_class2_fused_matches_loop(c2_prob):
+    from otamg.opt.apd2 import solve_class2_fused
+
+    opts = APDOptions(ssn_tol1=1e-10, inner_solver=InnerSolver.AMG)
+    r1 = solve_class2(c2_prob, opts)
+    r2 = solve_class2_fused(c2_prob, opts)
+    assert r2.converged == r1.converged and r2.iters == r1.iters
+    np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
