@@ -379,6 +379,136 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         wall_time=time.perf_counter() - t0, inner_total=inner_total)
 
 
+def solve_class1_chunked(prob: Class1Problem,
+                         opts: APDOptions = APDOptions(),
+                         solver: NewtonSolver | None = None,
+                         warm: tuple | None = None,
+                         chunk: int = 8,
+                         verbose: bool = False) -> SolveResult:
+    """Chunked on-device driver: runs up to ``chunk`` APD outer iterations
+    per jitted program with an on-device convergence early-exit, so the
+    host<->device round trip (expensive over the TPU relay) is paid once
+    per chunk instead of once per iteration.  Identical trajectory to
+    :func:`solve_class1` — same ``outer_step`` body, same restart/record
+    semantics — just batched dispatch."""
+    t0 = time.perf_counter()
+    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
+    b = prob.b
+    dtype = C.dtype
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+    if solver is None:
+        solver = make_solver_from_options(p, q, opts)
+
+    if warm is None:
+        ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()
+        X, lam = ws.X, ws.lam
+    else:
+        X, lam = warm
+    lam = lam.astype(hi)
+    V = X
+
+    kx0, kl0 = jax.jit(
+        lambda X, lam: op.kkt_class1(X, lam, C, b, p, q, gama, acc))(X, lam)
+    kx0 = float(kx0)
+    kl0 = float(kl0)
+    kkt_norm0 = jnp.asarray([kx0, kl0], dtype)
+
+    step = make_class1_step(prob, opts, solver, fused=True)
+    maxit = opts.maxit
+    kkt_tol = opts.kkt_tol
+
+    @jax.jit
+    def run_chunk(k0, X, V, lam, bk, key, resk_prev):
+        recs0 = {
+            "kkt_x": jnp.zeros(chunk, hi), "kkt_l": jnp.zeros(chunk, hi),
+            "fxk": jnp.zeros(chunk, hi),
+            "ssn": jnp.zeros(chunk, jnp.int32),
+            "imin": jnp.full(chunk, -1, jnp.int32),
+            "iavg": jnp.full(chunk, -1, jnp.int32),
+            "imax": jnp.full(chunk, -1, jnp.int32),
+            "isum": jnp.zeros(chunk, jnp.int32),
+            "fail": jnp.zeros(chunk, jnp.int32),
+            "restart": jnp.zeros(chunk, bool),
+        }
+
+        def cond(c):
+            i, k, X, V, lam, bk, key, resk, conv, recs = c
+            more = jnp.logical_and(i < chunk, k <= maxit)
+            return jnp.logical_and(more, jnp.logical_not(conv))
+
+        def body(c):
+            i, k, X, V, lam, bk, key, resk, conv, recs = c
+            X1, V1, lam1, bk1, key, mtr = step(
+                k, X, V, lam, bk, key, resk, kkt_norm0)
+            rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
+            conv = rr <= kkt_tol
+            resk1 = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
+            recs = {
+                "kkt_x": recs["kkt_x"].at[i].set(mtr.kkt_x.astype(hi)),
+                "kkt_l": recs["kkt_l"].at[i].set(mtr.kkt_l.astype(hi)),
+                "fxk": recs["fxk"].at[i].set(mtr.fxk.astype(hi)),
+                "ssn": recs["ssn"].at[i].set(mtr.ssn_it),
+                "imin": recs["imin"].at[i].set(mtr.it_min),
+                "iavg": recs["iavg"].at[i].set(mtr.it_avg),
+                "imax": recs["imax"].at[i].set(mtr.it_max),
+                "isum": recs["isum"].at[i].set(mtr.it_sum),
+                "fail": recs["fail"].at[i].set(mtr.fail),
+                "restart": recs["restart"].at[i].set(mtr.restarted),
+            }
+            return i + 1, k + 1, X1, V1, lam1, bk1, key, resk1, conv, recs
+
+        init = (jnp.int32(0), k0, X, V, lam, bk, key, resk_prev,
+                jnp.bool_(False), recs0)
+        i, k, X, V, lam, bk, key, resk, conv, recs = lax.while_loop(
+            cond, body, init)
+        return i, k, X, V, lam, bk, key, resk, conv, recs
+
+    key = jax.random.PRNGKey(opts.seed)
+    bk = jnp.asarray(1.0, dtype)
+    resk = jnp.asarray(max(kx0, kl0), dtype)
+    kkt_x = [kx0]
+    kkt_l = [kl0]
+    fxk = [float(jnp.vdot(C, X))]
+    ssn_itnum, solver_itnum, restarts = [], [], []
+    fail_total = 0
+    inner_total = 0
+    converged = False
+    k = 1
+    while k <= maxit and not converged:
+        i, k_dev, X, V, lam, bk, key, resk, conv, recs = run_chunk(
+            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk)
+        done = int(i)
+        converged = bool(conv)
+        recs = jax.device_get(recs)
+        kkt_x.extend(recs["kkt_x"][:done].tolist())
+        kkt_l.extend(recs["kkt_l"][:done].tolist())
+        fxk.extend(recs["fxk"][:done].tolist())
+        ssn_itnum.extend(recs["ssn"][:done].tolist())
+        solver_itnum.extend(
+            zip(recs["imin"][:done].tolist(), recs["iavg"][:done].tolist(),
+                recs["imax"][:done].tolist()))
+        restarts.extend(recs["restart"][:done].tolist())
+        fail_total += int(recs["fail"][:done].sum())
+        inner_total += int(recs["isum"][:done].sum())
+        if verbose:
+            for j in range(done):
+                print(f"APD it={k + j:3d} kkt_x={recs['kkt_x'][j]:.2e} "
+                      f"kkt_l={recs['kkt_l'][j]:.2e} "
+                      f"fk={recs['fxk'][j]:.6e} ssn={recs['ssn'][j]}"
+                      + (" RESTART" if recs["restart"][j] else ""))
+        k += done
+
+    return SolveResult(
+        X=X, lam=lam, converged=converged, iters=k - 1,
+        kkt_x=np.asarray(kkt_x), kkt_l=np.asarray(kkt_l),
+        fxk=np.asarray(fxk), ssn_itnum=np.asarray(ssn_itnum),
+        solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
+        restarts=np.asarray(restarts), fail_count=fail_total,
+        wall_time=time.perf_counter() - t0, inner_total=inner_total)
+
+
 def solve_class1_fused(prob: Class1Problem,
                        opts: APDOptions = APDOptions(),
                        solver: NewtonSolver | None = None,

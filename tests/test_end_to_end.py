@@ -144,6 +144,23 @@ def test_fused_driver_matches_loop(c1_prob):
                                rtol=1e-10, atol=1e-14)
 
 
+def test_chunked_driver_matches_loop(c1_prob):
+    from otamg.opt.apd import solve_class1_chunked
+
+    opts = APDOptions(inner_solver=InnerSolver.AMG)
+    r1 = solve_class1(c1_prob, opts)
+    r2 = solve_class1_chunked(c1_prob, opts, chunk=5)
+    assert r2.converged == r1.converged
+    assert r2.iters == r1.iters
+    np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
+    np.testing.assert_allclose(r2.kkt_x, r1.kkt_x, rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(r2.X), np.asarray(r1.X),
+                               rtol=1e-10, atol=1e-14)
+    assert (r2.ssn_itnum == r1.ssn_itnum).all()
+    assert r2.inner_total == r1.inner_total
+    assert (r2.solver_itnum == r1.solver_itnum).all()
+
+
 def test_class2_fused_matches_loop(c2_prob):
     from otamg.opt.apd2 import solve_class2_fused
 
