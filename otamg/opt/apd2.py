@@ -366,6 +366,121 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         wall_time=time.perf_counter() - t0)
 
 
+def solve_class2_chunked(prob: Class2Problem,
+                         opts: APDOptions | None = None,
+                         solver: NewtonSolver | None = None,
+                         chunk: int = 8,
+                         verbose: bool = False) -> Solve2Result:
+    """Chunked on-device Class-2 driver: up to ``chunk`` APD iterations per
+    jitted program with on-device early exit (see
+    :func:`otamg.opt.apd.solve_class1_chunked`).  Trajectory-identical to
+    :func:`solve_class2`."""
+    if opts is None:
+        opts = APDOptions(ssn_tol1=1e-10)
+    t0 = time.perf_counter()
+    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
+    m, n = prob.m, prob.n
+    b = prob.b
+    dtype = C.dtype
+
+    ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
+    X, lam = ws.X, ws.lam
+    us = jnp.concatenate([ws.y, ws.z])
+    VX, vs = X, us
+
+    k0 = jax.jit(lambda X, us, lam: op.kkt_class2(
+        X, us[:n], us[n:], lam, C, b, p, q, Phi))(X, us, lam)
+    kkt0 = np.asarray([float(v) for v in k0])
+    kkt_norm0 = jnp.asarray(kkt0, dtype)
+
+    step = make_class2_step(prob, opts, solver, fused=True)
+    maxit = opts.maxit
+    kkt_tol = opts.kkt_tol
+
+    @jax.jit
+    def run_chunk(k0_, X, us, VX, vs, lam, bk, key, resk_prev):
+        recs0 = {
+            "kkt": jnp.zeros((chunk, 4), dtype),
+            "fxk": jnp.zeros(chunk, dtype),
+            "ssn": jnp.zeros(chunk, jnp.int32),
+            "imin": jnp.full(chunk, -1, jnp.int32),
+            "iavg": jnp.full(chunk, -1, jnp.int32),
+            "imax": jnp.full(chunk, -1, jnp.int32),
+            "fail": jnp.zeros(chunk, jnp.int32),
+            "restart": jnp.zeros(chunk, bool),
+        }
+
+        def cond(c):
+            i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = c
+            more = jnp.logical_and(i < chunk, k <= maxit)
+            return jnp.logical_and(more, jnp.logical_not(conv))
+
+        def body(c):
+            i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = c
+            X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
+                k, X, us, VX, vs, lam, bk, key, resk, kkt_norm0)
+            kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
+            conv = jnp.max(kk / (1 + kkt_norm0)) <= kkt_tol
+            recs = {
+                "kkt": recs["kkt"].at[i].set(kk),
+                "fxk": recs["fxk"].at[i].set(mtr.fxk),
+                "ssn": recs["ssn"].at[i].set(mtr.ssn_it),
+                "imin": recs["imin"].at[i].set(mtr.it_min),
+                "iavg": recs["iavg"].at[i].set(mtr.it_avg),
+                "imax": recs["imax"].at[i].set(mtr.it_max),
+                "fail": recs["fail"].at[i].set(mtr.fail),
+                "restart": recs["restart"].at[i].set(mtr.restarted),
+            }
+            return (i + 1, k + 1, X1, us1, VX1, vs1, lam1, bk1, key,
+                    jnp.max(kk), conv, recs)
+
+        init = (jnp.int32(0), k0_, X, us, VX, vs, lam, bk, key,
+                resk_prev, jnp.bool_(False), recs0)
+        out = lax.while_loop(cond, body, init)
+        i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = out
+        return i, X, us, VX, vs, lam, bk, key, resk, conv, recs
+
+    key = jax.random.PRNGKey(opts.seed)
+    bk = jnp.asarray(1.0, dtype)
+    resk = jnp.asarray(kkt0.max(), dtype)
+    kkt_hist = [kkt0]
+    fxk = [float(jnp.vdot(C, X))]
+    ssn_itnum, solver_itnum, restarts = [], [], []
+    fail_total = 0
+    converged = False
+    k = 1
+    while k <= maxit and not converged:
+        (i, X, us, VX, vs, lam, bk, key, resk, conv, recs) = run_chunk(
+            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, resk)
+        done = int(i)
+        converged = bool(conv)
+        recs = jax.device_get(recs)
+        kkt_hist.extend(list(recs["kkt"][:done]))
+        fxk.extend(recs["fxk"][:done].tolist())
+        ssn_itnum.extend(recs["ssn"][:done].tolist())
+        solver_itnum.extend(
+            zip(recs["imin"][:done].tolist(), recs["iavg"][:done].tolist(),
+                recs["imax"][:done].tolist()))
+        restarts.extend(recs["restart"][:done].tolist())
+        fail_total += int(recs["fail"][:done].sum())
+        if verbose:
+            for j in range(done):
+                kk = recs["kkt"][j]
+                print(f"APD2 it={k + j:3d} kkt={kk[0]:.2e}/{kk[1]:.2e}/"
+                      f"{kk[2]:.2e}/{kk[3]:.2e} fk={recs['fxk'][j]:.6e} "
+                      f"ssn={recs['ssn'][j]}"
+                      + (" RESTART" if recs["restart"][j] else ""))
+        k += done
+
+    return Solve2Result(
+        X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
+        iters=k - 1, kkt=np.asarray(kkt_hist), fxk=np.asarray(fxk),
+        ssn_itnum=np.asarray(ssn_itnum),
+        solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
+        restarts=np.asarray(restarts), fail_count=fail_total,
+        wall_time=time.perf_counter() - t0)
+
+
 def solve_class2_fused(prob: Class2Problem,
                        opts: APDOptions | None = None,
                        solver: NewtonSolver | None = None) -> Solve2Result:

@@ -169,3 +169,16 @@ def test_class2_fused_matches_loop(c2_prob):
     r2 = solve_class2_fused(c2_prob, opts)
     assert r2.converged == r1.converged and r2.iters == r1.iters
     np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
+
+
+def test_class2_chunked_matches_loop(c2_prob):
+    from otamg.opt.apd2 import solve_class2_chunked
+
+    opts = APDOptions(ssn_tol1=1e-10, inner_solver=InnerSolver.AMG)
+    r1 = solve_class2(c2_prob, opts)
+    r2 = solve_class2_chunked(c2_prob, opts, chunk=5)
+    assert r2.converged == r1.converged and r2.iters == r1.iters
+    np.testing.assert_allclose(r2.fxk[-1], r1.fxk[-1], rtol=1e-12)
+    np.testing.assert_allclose(r2.kkt, r1.kkt, rtol=1e-10)
+    assert (r2.ssn_itnum == r1.ssn_itnum).all()
+    assert (r2.solver_itnum == r1.solver_itnum).all()
