@@ -34,6 +34,14 @@ def _common(sub):
     sub.add_argument("--solve-dtype", default=None,
                      help="inner-solver dtype (float32 enables the mixed-"
                           "precision MXU path; default: float32 on TPU)")
+    sub.add_argument("--driver", default="loop",
+                     choices=["loop", "chunked", "fused"],
+                     help="loop: one host dispatch per APD iteration "
+                          "(logging/checkpoint); chunked: N iterations "
+                          "per dispatch (TPU default-recommended); fused: "
+                          "whole solve in one program")
+    sub.add_argument("--chunk", type=int, default=8,
+                     help="iterations per dispatch for --driver chunked")
     sub.add_argument("--log", help="JSONL per-iteration record path")
     sub.add_argument("--plot", help="PNG plot prefix")
     sub.add_argument("--checkpoint", help="checkpoint directory (orbax)")
@@ -83,7 +91,8 @@ def cmd_class1(args) -> int:
     import jax
 
     from otamg.diag.metrics import plot_run, solver_report
-    from otamg.opt import solve_class1
+    from otamg.opt import (solve_class1, solve_class1_chunked,
+                           solve_class1_fused)
     from otamg.ot import load_class1_mat, random_class1
 
     if args.mat:
@@ -91,8 +100,14 @@ def cmd_class1(args) -> int:
     else:
         prob = random_class1(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype)
-    res = solve_class1(prob, _opts(args), verbose=args.verbose,
-                       checkpoint_dir=args.checkpoint)
+    if args.driver == "chunked":
+        res = solve_class1_chunked(prob, _opts(args), chunk=args.chunk,
+                                   verbose=args.verbose)
+    elif args.driver == "fused":
+        res = solve_class1_fused(prob, _opts(args))
+    else:
+        res = solve_class1(prob, _opts(args), verbose=args.verbose,
+                           checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:
@@ -118,7 +133,8 @@ def cmd_class2(args) -> int:
     import jax
 
     from otamg.diag.metrics import plot_run, solver_report
-    from otamg.opt.apd2 import solve_class2
+    from otamg.opt.apd2 import (solve_class2, solve_class2_chunked,
+                                solve_class2_fused)
     from otamg.ot import load_class2_mat, random_class2
 
     if args.mat:
@@ -126,9 +142,15 @@ def cmd_class2(args) -> int:
     else:
         prob = random_class2(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype, mu_frac=args.mu_frac)
-    res = solve_class2(prob, _opts(args, class2=True),
-                       verbose=args.verbose,
-                       checkpoint_dir=args.checkpoint)
+    if args.driver == "chunked":
+        res = solve_class2_chunked(prob, _opts(args, class2=True),
+                                   chunk=args.chunk, verbose=args.verbose)
+    elif args.driver == "fused":
+        res = solve_class2_fused(prob, _opts(args, class2=True))
+    else:
+        res = solve_class2(prob, _opts(args, class2=True),
+                           verbose=args.verbose,
+                           checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:

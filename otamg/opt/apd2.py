@@ -54,6 +54,7 @@ class Outer2Metrics(NamedTuple):
     it_min: jax.Array
     it_avg: jax.Array
     it_max: jax.Array
+    it_sum: jax.Array
     fail: jax.Array
     restarted: jax.Array
 
@@ -73,6 +74,7 @@ class Solve2Result:
     restarts: np.ndarray
     fail_count: int
     wall_time: float
+    inner_total: int = 0   # total inner-solver iterations (SumAMG role)
 
 
 def make_pot_solver_from_options(p, q, Phi, opts: APDOptions) -> NewtonSolver:
@@ -273,7 +275,7 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
             ssn_it=ssn.it,
             it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
             it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
-            fail=ssn.fail, restarted=restart)
+            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart)
         return X1, us1, VX1, vs1, lam1, bk1, key, metrics
 
     if fused:
@@ -323,6 +325,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     fail_total = 0
+    inner_total = 0
     converged = False
     k_final = opts.maxit
 
@@ -340,6 +343,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
                              int(mtr.it_max)))
         restarts.append(bool(mtr.restarted))
         fail_total += int(mtr.fail)
+        inner_total += int(mtr.it_sum)
         rr = (kk / (1 + kkt0)).max()
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
@@ -363,7 +367,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total)
 
 
 def solve_class2_chunked(prob: Class2Problem,
@@ -406,6 +410,7 @@ def solve_class2_chunked(prob: Class2Problem,
             "imin": jnp.full(chunk, -1, jnp.int32),
             "iavg": jnp.full(chunk, -1, jnp.int32),
             "imax": jnp.full(chunk, -1, jnp.int32),
+            "isum": jnp.zeros(chunk, jnp.int32),
             "fail": jnp.zeros(chunk, jnp.int32),
             "restart": jnp.zeros(chunk, bool),
         }
@@ -428,6 +433,7 @@ def solve_class2_chunked(prob: Class2Problem,
                 "imin": recs["imin"].at[i].set(mtr.it_min),
                 "iavg": recs["iavg"].at[i].set(mtr.it_avg),
                 "imax": recs["imax"].at[i].set(mtr.it_max),
+                "isum": recs["isum"].at[i].set(mtr.it_sum),
                 "fail": recs["fail"].at[i].set(mtr.fail),
                 "restart": recs["restart"].at[i].set(mtr.restarted),
             }
@@ -447,6 +453,7 @@ def solve_class2_chunked(prob: Class2Problem,
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     fail_total = 0
+    inner_total = 0
     converged = False
     k = 1
     while k <= maxit and not converged:
@@ -463,6 +470,7 @@ def solve_class2_chunked(prob: Class2Problem,
                 recs["imax"][:done].tolist()))
         restarts.extend(recs["restart"][:done].tolist())
         fail_total += int(recs["fail"][:done].sum())
+        inner_total += int(recs["isum"][:done].sum())
         if verbose:
             for j in range(done):
                 kk = recs["kkt"][j]
@@ -478,7 +486,7 @@ def solve_class2_chunked(prob: Class2Problem,
         ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total)
 
 
 def solve_class2_fused(prob: Class2Problem,
@@ -510,6 +518,7 @@ def solve_class2_fused(prob: Class2Problem,
         rec_fx = jnp.zeros(maxit + 1, dtype).at[0].set(jnp.vdot(C, X))
         rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
+        rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
 
         def cond(c):
@@ -517,7 +526,8 @@ def solve_class2_fused(prob: Class2Problem,
 
         def body(c):
             (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
-             rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart) = c
+             rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
+             rec_restart) = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
                 k, X, us, VX, vs, lam, bk, key, resk, kkt_norm0)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
@@ -528,19 +538,20 @@ def solve_class2_fused(prob: Class2Problem,
                     rec_kkt.at[k].set(kk), rec_fx.at[k].set(mtr.fxk),
                     rec_ssn.at[k].set(mtr.ssn_it),
                     rec_imax.at[k].set(mtr.it_max),
+                    rec_isum.at[k].set(mtr.it_sum),
                     rec_restart.at[k].set(mtr.restarted))
 
         init = (jnp.int32(1), X, us, VX, vs, lam,
                 jnp.asarray(1.0, dtype), jnp.bool_(False), key,
                 jnp.max(kkt_norm0), jnp.int32(0),
-                rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart)
+                rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart)
         out = lax.while_loop(cond, body, init)
         (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
-         rec_kkt, rec_fx, rec_ssn, rec_imax, rec_restart) = out
+         rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart) = out
         return (k - 1, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn,
-                rec_imax, rec_restart, kkt_norm0)
+                rec_imax, rec_isum, rec_restart, kkt_norm0)
 
-    (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imax,
+    (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
      rec_restart, kkt_norm0) = run(jax.random.PRNGKey(opts.seed))
     iters = int(k)
     kkt = np.asarray(rec_kkt)[: iters + 1]
@@ -553,4 +564,5 @@ def solve_class2_fused(prob: Class2Problem,
         ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
         solver_itnum=np.stack([imax, imax, imax], axis=1),
         restarts=np.asarray(rec_restart)[1: iters + 1],
-        fail_count=int(fail), wall_time=time.perf_counter() - t0)
+        fail_count=int(fail), wall_time=time.perf_counter() - t0,
+        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()))
