@@ -6,17 +6,25 @@ The reference publishes no numbers (BASELINE.md), so vs_baseline is the
 ratio against a fixed nominal budget for this config (60 s for the 500x500
 demo-equivalent on one chip — the reference's own `toc` on the authors'
 CPU is unknown; >1.0 means faster than the nominal budget).
+
+Resilience: the axon TPU relay's worker occasionally crashes/restarts
+mid-run ("TPU worker process crashed or restarted"); each attempt runs in
+a fresh subprocess and transient faults are retried, so one worker crash
+does not turn into a failed benchmark.
 """
 
 import json
+import os
+import subprocess
 import sys
 import time
 
-
 NOMINAL_BUDGET_S = 60.0
+ATTEMPTS = 3
+RETRY_WAIT_S = 120.0  # give a crashed TPU worker time to come back
 
 
-def main():
+def _bench_once():
     import jax
     import jax.numpy as jnp
 
@@ -69,8 +77,37 @@ def main():
         "iters": int(res.iters),
         "platform": platform,
     }
-    print(json.dumps(out))
+    print("BENCH_RESULT " + json.dumps(out), flush=True)
     return 0 if ok else 1
+
+
+def main():
+    if os.environ.get("OTAMG_BENCH_CHILD"):
+        return _bench_once()
+
+    last_err = ""
+    for attempt in range(1, ATTEMPTS + 1):
+        env = dict(os.environ, OTAMG_BENCH_CHILD="1")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=5400)
+        for line in proc.stdout.splitlines():
+            if line.startswith("BENCH_RESULT "):
+                print(line[len("BENCH_RESULT "):])
+                return 0
+        last_err = (proc.stderr or "").strip().splitlines()[-3:]
+        print(f"bench attempt {attempt}/{ATTEMPTS} failed "
+              f"(rc={proc.returncode}): {' | '.join(last_err)}",
+              file=sys.stderr, flush=True)
+        if attempt < ATTEMPTS:
+            time.sleep(RETRY_WAIT_S)
+
+    print(json.dumps({
+        "metric": "class1_500_time_to_kkt1e-6",
+        "value": float("inf"), "unit": "s", "vs_baseline": 0.0,
+        "converged": False, "error": " | ".join(last_err)[-500:],
+    }))
+    return 1
 
 
 if __name__ == "__main__":
