@@ -345,6 +345,10 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         X, V, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_prev,
             kkt_norm0)
+        # One batched device->host fetch for all per-iteration scalars
+        # (individual float() casts would each block on a round trip —
+        # expensive over a remote-TPU relay).
+        mtr = jax.device_get(mtr)
         kkt_x.append(float(mtr.kkt_x))
         kkt_l.append(float(mtr.kkt_l))
         fxk.append(float(mtr.fxk))

@@ -334,6 +334,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         X, us, VX, vs, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
             resk_prev, kkt_norm0)
+        mtr = jax.device_get(mtr)  # one batched fetch (see apd.py)
         kk = np.asarray([float(mtr.kkt_x), float(mtr.kkt_y),
                          float(mtr.kkt_z), float(mtr.kkt_l)])
         kkt_hist.append(kk)
