@@ -95,6 +95,15 @@ def _unvec(x: np.ndarray, m: int, n: int) -> np.ndarray:
     return np.asarray(x).reshape((m, n), order="F")
 
 
+def _validate_weights(p, q) -> None:
+    """Reference guard: the Q0 similarity transform divides by ``p``/``q``
+    entries, so zero weights are rejected at ingest (``Hybrid_AMG.m:19``,
+    ``aug_PCG.m:18``: "there exists zero elements in p or q!")."""
+    if np.any(np.asarray(p) == 0) or np.any(np.asarray(q) == 0):
+        raise ValueError("there exist zero elements in p or q "
+                         "(reference Hybrid_AMG.m:19)")
+
+
 def load_class1_mat(path: str, dtype=jnp.float64) -> Class1Problem:
     """Ingest a reference ``data1-*.mat`` fixture (keys ``c, gama, l, m, n,
     p, q, r``)."""
@@ -103,6 +112,7 @@ def load_class1_mat(path: str, dtype=jnp.float64) -> Class1Problem:
     d = sio.loadmat(path)
     m = int(np.asarray(d["m"]).squeeze())
     n = int(np.asarray(d["n"]).squeeze())
+    _validate_weights(d["p"], d["q"])
     return Class1Problem(
         C=jnp.asarray(_unvec(d["c"], m, n), dtype=dtype),
         r=jnp.asarray(d["r"].ravel(), dtype=dtype),
@@ -120,6 +130,7 @@ def load_class2_mat(path: str, dtype=jnp.float64) -> Class2Problem:
     d = sio.loadmat(path)
     m = int(np.asarray(d["m"]).squeeze())
     n = int(np.asarray(d["n"]).squeeze())
+    _validate_weights(d["p"], d["q"])
     return Class2Problem(
         C=jnp.asarray(_unvec(d["c"], m, n), dtype=dtype),
         r=jnp.asarray(d["r"].ravel(), dtype=dtype),

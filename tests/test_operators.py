@@ -130,3 +130,23 @@ def test_mat_ingest_roundtrip(class1_fixture_path, class2_fixture_path):
     assert prob2.m == 500 and prob2.n == 500
     cap = min(float(jnp.vdot(prob2.r, prob2.q)), float(jnp.vdot(prob2.l, prob2.p)))
     assert 0.0 < float(prob2.mu) < cap
+
+
+def test_ingest_rejects_zero_weights(tmp_path):
+    """Reference guard parity: zero entries in p/q are rejected at ingest
+    (``Hybrid_AMG.m:19``, ``aug_PCG.m:18``)."""
+    import pytest
+    import scipy.io as sio
+
+    from otamg.ot import load_class1_mat
+
+    m = n = 4
+    d = dict(m=m, n=n,
+             c=np.random.rand(m * n, 1), gama=np.full((m * n, 1), np.inf),
+             r=np.ones((n, 1)), l=np.ones((m, 1)),
+             p=np.concatenate([np.zeros((1, 1)), np.ones((m - 1, 1))]),
+             q=np.ones((n, 1)))
+    path = str(tmp_path / "bad.mat")
+    sio.savemat(path, d)
+    with pytest.raises(ValueError, match="zero elements"):
+        load_class1_mat(path)
