@@ -70,7 +70,7 @@ def _setup_jax(args):
 
 
 def _opts(args, class2=False):
-    from otamg.config import APDOptions, InnerSolver
+    from otamg.config import AMGOptions, APDOptions, InnerSolver
 
     inner = InnerSolver[args.inner.upper()]
     ssn_tol1 = 1e-10 if class2 else 1e-11
@@ -81,9 +81,11 @@ def _opts(args, class2=False):
     solve_dtype = args.solve_dtype
     if solve_dtype is None and jax.default_backend() != "cpu":
         solve_dtype = "float32"  # mixed-precision MXU path
+    # Class-2 AMG budget: maxit 40, smoth 10 (Class2/APD_SsN_Class2.m:80-81)
+    amg = AMGOptions(maxit=40, smoth=10) if class2 else AMGOptions()
     return APDOptions(maxit=args.maxit, kkt_tol=args.kkt_tol,
                       inner_solver=inner, ssn_tol1=ssn_tol1,
-                      seed=args.seed, solve_dtype=solve_dtype)
+                      seed=args.seed, solve_dtype=solve_dtype, amg=amg)
 
 
 def cmd_class1(args) -> int:

@@ -29,6 +29,15 @@ from otamg.ot import operators as op
 from otamg.ot.problems import Class2Problem
 
 
+def default_class2_options() -> APDOptions:
+    """Reference Class-2 budgets: SsN floor tolerance 1e-10
+    (``Class2/APD_SsN_Class2.m:28``) and AMG ``maxit=40, smoth=10``
+    (``Class2/APD_SsN_Class2.m:80-81`` — the Class-1 defaults are 30/5)."""
+    from otamg.config import AMGOptions
+
+    return APDOptions(ssn_tol1=1e-10, amg=AMGOptions(maxit=40, smoth=10))
+
+
 class _Ssn2Carry(NamedTuple):
     it: jax.Array
     lam: jax.Array
@@ -292,7 +301,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     """End-to-end Class-2 solve to relative KKT <= 1e-6
     (``Class2/APD_SsN_Class2.m:27,276-280``)."""
     if opts is None:
-        opts = APDOptions(ssn_tol1=1e-10)  # Class-2 floor (:28)
+        opts = default_class2_options()
     t0 = time.perf_counter()
     p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
@@ -381,7 +390,7 @@ def solve_class2_chunked(prob: Class2Problem,
     :func:`otamg.opt.apd.solve_class1_chunked`).  Trajectory-identical to
     :func:`solve_class2`."""
     if opts is None:
-        opts = APDOptions(ssn_tol1=1e-10)
+        opts = default_class2_options()
     t0 = time.perf_counter()
     p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
@@ -496,7 +505,7 @@ def solve_class2_fused(prob: Class2Problem,
     """Whole-solve-on-device Class-2 driver (see
     :func:`otamg.opt.apd.solve_class1_fused`)."""
     if opts is None:
-        opts = APDOptions(ssn_tol1=1e-10)
+        opts = default_class2_options()
     t0 = time.perf_counter()
     p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
