@@ -30,6 +30,19 @@ def test_cli_class1_small(tmp_path):
     assert len(lines) == rep["iters"] + 1
 
 
+def test_cli_class1_chunked_driver(tmp_path):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
+    out = subprocess.run(
+        [sys.executable, "-m", "otamg.cli", "class1", "--m", "16",
+         "--n", "12", "--inner", "pcg", "--driver", "chunked",
+         "--chunk", "4"],
+        capture_output=True, text=True, env=env, timeout=600,
+        cwd="/root/repo")
+    assert out.returncode == 0, out.stderr[-2000:]
+    rep = json.loads(out.stdout.strip().splitlines()[-1])
+    assert rep["converged"]
+
+
 def test_cli_info():
     env = dict(os.environ, JAX_PLATFORMS="cpu", PALLAS_AXON_POOL_IPS="")
     out = subprocess.run([sys.executable, "-m", "otamg.cli", "info"],
