@@ -20,11 +20,14 @@ import sys
 import time
 
 NOMINAL_BUDGET_S = 60.0
-ATTEMPTS = 3
 RETRY_WAIT_S = 120.0  # give a crashed TPU worker time to come back
+# Config ladder: the metric is time-to-KKT-1e-6 on the 500x500 Class-1
+# problem — solver-agnostic — so if one inner solver's program faults the
+# axon worker, fall back to the next.  Each entry: (inner_solver, label).
+LADDER = ["AMG", "PCG", "AUG_PCG"]
 
 
-def _bench_once():
+def _bench_once(inner: str):
     import jax
     import jax.numpy as jnp
 
@@ -57,7 +60,7 @@ def _bench_once():
     except Exception:
         prob = random_class1(jax.random.PRNGKey(0), 500, 500, dtype=dtype)
 
-    opts = APDOptions(inner_solver=InnerSolver.AMG,
+    opts = APDOptions(inner_solver=InnerSolver[inner],
                       solve_dtype=solve_dtype)
 
     # Warm-up run compiles everything; timed run measures steady state.
@@ -76,6 +79,7 @@ def _bench_once():
         "converged": ok,
         "iters": int(res.iters),
         "platform": platform,
+        "inner": inner,
     }
     print("BENCH_RESULT " + json.dumps(out), flush=True)
     return 0 if ok else 1
@@ -83,11 +87,11 @@ def _bench_once():
 
 def main():
     if os.environ.get("OTAMG_BENCH_CHILD"):
-        return _bench_once()
+        return _bench_once(os.environ["OTAMG_BENCH_CHILD"])
 
     last_err = ""
-    for attempt in range(1, ATTEMPTS + 1):
-        env = dict(os.environ, OTAMG_BENCH_CHILD="1")
+    for attempt, inner in enumerate(LADDER, 1):
+        env = dict(os.environ, OTAMG_BENCH_CHILD=inner)
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, capture_output=True, text=True, timeout=5400)
@@ -96,10 +100,10 @@ def main():
                 print(line[len("BENCH_RESULT "):])
                 return 0
         last_err = (proc.stderr or "").strip().splitlines()[-3:]
-        print(f"bench attempt {attempt}/{ATTEMPTS} failed "
-              f"(rc={proc.returncode}): {' | '.join(last_err)}",
+        print(f"bench attempt {attempt}/{len(LADDER)} (inner={inner}) "
+              f"failed (rc={proc.returncode}): {' | '.join(last_err)}",
               file=sys.stderr, flush=True)
-        if attempt < ATTEMPTS:
+        if attempt < len(LADDER):
             time.sleep(RETRY_WAIT_S)
 
     print(json.dumps({
