@@ -69,6 +69,22 @@ class DenseLevel(NamedTuple):
     nsp: jax.Array      # (c,) bool
     Axi: jax.Array      # (c,)
     xx: jax.Array       # (c,)
+    evecs: jax.Array    # (c, c) f64 eigenvectors of A (coarsest level only;
+    #                     (0, 0) elsewhere) — eigendecomposed ONCE at setup
+    #                     so each coarse visit is two tiny GEMVs.
+    einv: jax.Array     # (c,) f64 *filtered* inverse eigenvalues:
+    #                     1/lambda_i where lambda_i > 4 eps(solve dtype) *
+    #                     lambda_max, else 0.  The coarsest operator carries
+    #                     near-kernel eigenvalues ~bk1; an EXACT solve maps
+    #                     the solve-dtype roundoff in the restricted
+    #                     residual to O(eps/bk1)-sized noise along those
+    #                     eigenvectors — residual-invisible (residual
+    #                     contribution ~ bk1 * noise) but catastrophic for
+    #                     the Newton step.  The reference's per-visit
+    #                     Jacobi-PCG (``MG_Vcycle.m:43``) never resolves
+    #                     eigendirections below its stagnation floor, which
+    #                     is what makes it stable; the spectral cutoff is
+    #                     the deterministic equivalent, at two GEMVs/visit.
 
 
 Hierarchy = tuple  # (BipartiteLevel, tuple[DenseLevel, ...])
@@ -213,16 +229,36 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     dense_levels = []
     A_cur, act_cur, lab_cur, nsp_cur = A2, active2, labels2, nsp2
     P_cur = jnp.zeros((0, 0), dtype)  # unused for level 2
+    no_vec = jnp.zeros((0, 0), jnp.float64)
+    no_val = jnp.zeros((0,), jnp.float64)
 
     for li, cap in enumerate(caps):
+        last = li == len(caps) - 1
+        # Coarsest-grid factorization, computed ONCE per hierarchy: the
+        # reference re-solves the coarsest system by Jacobi-PCG on every
+        # cycle visit (``MG_Vcycle.m:43``; its direct solve is commented at
+        # ``:44``) — a W-cycle visits the coarsest level 2^(levels-2) times
+        # per cycle, so on TPU we eigendecompose here (f64; the matrix is
+        # ~N^(1/3), so this is negligible even under TPU f64 emulation) and
+        # each visit applies the spectrally-filtered inverse (see the
+        # DenseLevel.einv doc for why exact inversion is unstable at the
+        # solve dtype).  Padding rows carry an identity diagonal.
+        if last:
+            lam, evecs = jnp.linalg.eigh(A_cur.astype(jnp.float64))
+            cutoff = 4 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(lam))
+            einv = jnp.where(lam > cutoff, 1.0 / jnp.where(lam > cutoff,
+                                                           lam, 1.0), 0.0)
+        else:
+            evecs, einv = no_vec, no_val
         lvd_partial = DenseLevel(A_cur, act_cur, P_cur, lab_cur, nsp_cur,
-                                 jnp.zeros(cap, dtype), jnp.ones(cap, dtype))
+                                 jnp.zeros(cap, dtype), jnp.ones(cap, dtype),
+                                 evecs, einv)
         xi = act_cur.astype(dtype)
         Axi = dense_matvec(lvd_partial, xi)
         xx = jax.ops.segment_sum(xi * Axi, lab_cur, num_segments=nseg)
         lvd = lvd_partial._replace(Axi=Axi, xx=xx[lab_cur])
         dense_levels.append(lvd)
-        if li == len(caps) - 1:
+        if last:
             break
         cap_next = caps[li + 1]
         key, sub = jax.random.split(key)
@@ -313,11 +349,21 @@ def _gen_tape(num_levels: int, gamma: int) -> list[tuple[str, int]]:
 
 
 def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
-               coarse_retol: float = 1e-11, coarse_maxit: int = 10_000):
+               coarse_retol: float = 1e-11, coarse_maxit: int = 10_000,
+               coarse_direct: bool = True):
     """Build ``cycle(lv1, dense_levels, r) -> e`` executing one V/W cycle.
 
     The tape is static; the scan body is a ``lax.switch`` over the
     distinct (op, level) pairs, so each op is traced exactly once.
+
+    ``coarse_direct=True`` solves the coarsest level with the
+    spectrally-filtered f64 eigendecomposition computed at setup (two tiny
+    GEMVs per visit) instead of the reference's Jacobi-PCG
+    (``MG_Vcycle.m:43``; the direct solve is its commented alternative
+    ``:44``).  Trajectories agree to the PCG tolerance — and it removes a
+    data-dependent 1e4-iteration inner while_loop from the hot cycle
+    program.  See ``DenseLevel.einv`` for why the filter (not a plain
+    exact solve) is required at low solve dtypes.
     """
     num_levels = num_dense + 1
     tape = _gen_tape(num_levels, gamma)
@@ -379,18 +425,29 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                     es[l] = es[l] + prolong(l, es[l + 1])
                     es[l] = lvl_smooth(l, es[l], rs[l], True)
                 elif kind == "coarse":
-                    # Coarsest solve: Jacobi-PCG with the reference PCG
-                    # defaults (MG_Vcycle.m:43, PCG.m:18-27).
                     lv = levels[l]
-                    if l == 0:
-                        dg = lv.g
-                        mv = lambda v: bip_matvec(lv, v)
+                    if coarse_direct and l > 0 and lv.evecs.shape[0] > 0:
+                        # Spectrally-filtered direct solve via the
+                        # setup-time f64 eigendecomposition (two tiny
+                        # GEMVs); eigendirections below the solve-dtype
+                        # noise floor are truncated — the deterministic
+                        # equivalent of the reference PCG's stagnation
+                        # (see DenseLevel.einv).
+                        rc = rs[l].astype(jnp.float64)
+                        e_c = lv.evecs @ (lv.einv * (lv.evecs.T @ rc))
+                        es[l] = e_c.astype(dtype)
                     else:
-                        dg = jnp.diag(lv.A)
-                        mv = lambda v: dense_matvec(lv, v)
-                    res = pcg(mv, rs[l], lambda v: v / dg,
-                              retol=coarse_retol, maxit=coarse_maxit)
-                    es[l] = res.x
+                        # Coarsest solve: Jacobi-PCG with the reference PCG
+                        # defaults (MG_Vcycle.m:43, PCG.m:18-27).
+                        if l == 0:
+                            dg = lv.g
+                            mv = lambda v: bip_matvec(lv, v)
+                        else:
+                            dg = jnp.diag(lv.A)
+                            mv = lambda v: dense_matvec(lv, v)
+                        res = pcg(mv, rs[l], lambda v: v / dg,
+                                  retol=coarse_retol, maxit=coarse_maxit)
+                        es[l] = res.x
                 return tuple(es), tuple(rs)
 
             return branch
@@ -427,7 +484,8 @@ def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
     nseg = b.shape[0]
     gamma = 2 if opts.cycle == Cycle.W else 1
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
-                       opts.coarse_pcg.retol, opts.coarse_pcg.maxit)
+                       opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
+                       opts.coarse_solver == "direct")
 
     res0 = jnp.linalg.norm(b - bip_matvec(lv1, guess))
     safe0 = jnp.where(res0 == 0, 1.0, res0)

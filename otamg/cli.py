@@ -37,9 +37,11 @@ def _common(sub):
     sub.add_argument("--driver", default="loop",
                      choices=["loop", "chunked", "fused"],
                      help="loop: one host dispatch per APD iteration "
-                          "(logging/checkpoint); chunked: N iterations "
-                          "per dispatch (TPU default-recommended); fused: "
-                          "whole solve in one program")
+                          "(logging/checkpoint; the TPU default until the "
+                          "chunked program is validated on the real chip); "
+                          "chunked: N iterations per dispatch; fused: "
+                          "whole solve in one program (known to fault the "
+                          "axon TPU worker — see CLAUDE.md)")
     sub.add_argument("--chunk", type=int, default=8,
                      help="iterations per dispatch for --driver chunked")
     sub.add_argument("--log", help="JSONL per-iteration record path")
@@ -102,6 +104,10 @@ def cmd_class1(args) -> int:
     else:
         prob = random_class1(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype)
+    if args.checkpoint and args.driver != "loop":
+        print("warning: --checkpoint only checkpoints per-iteration with "
+              "--driver loop; the chunked/fused drivers run multiple "
+              "iterations per device program and skip it", file=sys.stderr)
     if args.driver == "chunked":
         res = solve_class1_chunked(prob, _opts(args), chunk=args.chunk,
                                    verbose=args.verbose)
@@ -144,6 +150,10 @@ def cmd_class2(args) -> int:
     else:
         prob = random_class2(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype, mu_frac=args.mu_frac)
+    if args.checkpoint and args.driver != "loop":
+        print("warning: --checkpoint only checkpoints per-iteration with "
+              "--driver loop; the chunked/fused drivers run multiple "
+              "iterations per device program and skip it", file=sys.stderr)
     if args.driver == "chunked":
         res = solve_class2_chunked(prob, _opts(args, class2=True),
                                    chunk=args.chunk, verbose=args.verbose)

@@ -76,6 +76,12 @@ class AMGOptions:
     max_levels: int = 10          # static unroll bound for the hierarchy
     coarsen_ratio: float = 0.625  # per-level capacity shrink for padding
     coarse_pcg: PCGOptions = dataclasses.field(default_factory=PCGOptions)
+    # Coarsest-grid solver: "direct" factors the (tiny) coarsest matrix
+    # once at setup and back-substitutes per cycle visit; "pcg" is the
+    # reference behavior (Jacobi-PCG per visit, ``MG_Vcycle.m:43`` — its
+    # own direct solve is the commented ``:44``).  Exactness makes the two
+    # trajectory-equivalent to the PCG tolerance.
+    coarse_solver: str = "direct"
     # Coarsest-grid target size: reference coarsens until
     # ``size <= 1 + floor(N_fine**(1/3))`` (``Class_AMG.m:76``).
 

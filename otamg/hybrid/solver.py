@@ -83,11 +83,13 @@ def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
     fp32 cost.
     """
     if twogrid:
-        opts = AMGOptions(
-            retol=opts.retol, bigph=opts.bigph, maxit=opts.maxit,
-            theta=opts.theta, smoth=opts.smoth, cycle=opts.cycle,
-            isnsp=opts.isnsp, inter=opts.inter, max_levels=2,
-            coarsen_ratio=opts.coarsen_ratio,
+        import dataclasses
+
+        # Reference two-grid coarse correction is deliberately INEXACT:
+        # Jacobi-PCG capped at 100 iterations on the (large) level-2
+        # system (``twogrid_bigph.m:98-99``) — keep pcg mode here.
+        opts = dataclasses.replace(
+            opts, max_levels=2, coarse_solver="pcg",
             coarse_pcg=PCGOptions(retol=1e-11, maxit=100))
 
     def solve(S, tvec, bk1, tk, rhs, key) -> NewtonSolveResult:
