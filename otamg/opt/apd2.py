@@ -146,32 +146,43 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
     m, n = prob.m, prob.n
     b = prob.b
     dtype = C.dtype
+    # Mixed precision, mirroring :func:`otamg.opt.apd.make_class1_step`
+    # (SURVEY.md hard part (f)): with fp32 storage the dual-space state and
+    # every O(mn) reduction (H applications into the dual, merit dots, KKT
+    # norms) are carried in f64; the MXU-heavy O(mn) work stays fp32.
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+    b_hi = b.astype(hi)
     if solver is None:
         solver = make_pot_solver_from_options(p, q, Phi, opts)
     solver_maxit = jnp.int32(
         opts.amg.maxit if opts.inner_solver in
         (InnerSolver.AMG, InnerSolver.TWOGRID) else opts.pcg.maxit)
 
-    def Hu(X, us):
-        return op.apply_H(X, us[:n], us[n:], p, q, Phi)
+    def Hu(X, us, out_dtype=None):
+        return op.apply_H(X, us[:n], us[n:], p, q, Phi, out_dtype)
 
     def ssn_solve(WX, ws, wlk, lam0, bk1, tk, ssn_tol, key):
-        """SsN loop (``Class2/APD_SsN_Class2.m:136-243``)."""
+        """SsN loop (``Class2/APD_SsN_Class2.m:136-243``).
+        ``lam0``/``wlk``/``bk1`` are hi-precision; z-space arrays stay
+        lo-precision."""
 
         def z_of(lam):
-            HtX, Hts = op.apply_Ht(lam, p, q, Phi)
+            HtX, Hts = op.apply_Ht(lam.astype(dtype), p, q, Phi)
             return (WX - HtX) / tk, (ws - Hts) / tk
 
         def F_of(lam, ZX, zs):
             PX = op.prox_nonneg(ZX)
             ps = op.prox_nonneg(zs)
-            return bk1 * lam - Hu(PX, ps) - wlk
+            return bk1 * lam - Hu(PX, ps, acc).astype(hi) - wlk
 
         def merit(lam, ZX, zs):
             f0 = bk1 / 2 * jnp.vdot(lam, lam) - jnp.vdot(wlk, lam)
             PX = op.prox_nonneg(ZX)
             ps = op.prox_nonneg(zs)
-            return f0 + 0.5 * tk * (jnp.vdot(PX, PX) + jnp.vdot(ps, ps))
+            return f0 + 0.5 * tk * (op.vdot_hi(PX, PX, acc)
+                                    + op.vdot_hi(ps, ps, acc))
 
         ZX0, zs0 = z_of(lam0)
         nF0 = jnp.linalg.norm(F_of(lam0, ZX0, zs0))
@@ -185,7 +196,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
         def body(c: _Ssn2Carry) -> _Ssn2Carry:
             lam_old = c.lam
-            HtX_old, Hts_old = op.apply_Ht(lam_old, p, q, Phi)
+            HtX_old, Hts_old = op.apply_Ht(lam_old.astype(dtype), p, q,
+                                           Phi)
             ZX_old = (WX - HtX_old) / tk
             zs_old = (ws - Hts_old) / tk
             S = (ZX_old >= 0).astype(dtype)
@@ -193,20 +205,23 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
             Fk_old = F_of(lam_old, ZX_old, zs_old)
             nFk_old = jnp.linalg.norm(Fk_old)
             key, sub = jax.random.split(c.key)
-            sol = solver(S, tmask, bk1, tk, -Fk_old, sub)
-            zeta = sol.zeta
+            sol = solver(S, tmask, jnp.asarray(bk1, dtype),
+                         jnp.asarray(tk, dtype), (-Fk_old).astype(dtype),
+                         sub)
+            zeta = sol.zeta.astype(hi)
             # Armijo (:199-231); H^T lam is affine in the step size.
-            HtzX, Htzs = op.apply_Ht(zeta, p, q, Phi)
+            HtzX, Htzs = op.apply_Ht(sol.zeta.astype(dtype), p, q, Phi)
             cF_old = merit(lam_old, ZX_old, zs_old)
             ress = jnp.abs(jnp.vdot(Fk_old, zeta))
 
             def trial(step):
                 lam_t = lam_old + step * zeta
-                ZX_t = (WX - HtX_old - step * HtzX) / tk
-                zs_t = (ws - Hts_old - step * Htzs) / tk
+                step_lo = step.astype(dtype)
+                ZX_t = (WX - HtX_old - step_lo * HtzX) / tk
+                zs_t = (ws - Hts_old - step_lo * Htzs) / tk
                 return lam_t, ZX_t, zs_t, merit(lam_t, ZX_t, zs_t)
 
-            lam_t, ZX_t, zs_t, cF_new = trial(jnp.asarray(1.0, dtype))
+            lam_t, ZX_t, zs_t, cF_new = trial(jnp.asarray(1.0, hi))
 
             def ls_cond(carry):
                 ll, step, *_, cF_new = carry
@@ -223,7 +238,7 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
             _, _, lam_new, ZX_new, zs_new, _ = lax.while_loop(
                 ls_cond, ls_body,
-                (jnp.int32(0), jnp.asarray(1.0, dtype), lam_t, ZX_t, zs_t,
+                (jnp.int32(0), jnp.asarray(1.0, hi), lam_t, ZX_t, zs_t,
                  cF_new))
 
             Fk_new = F_of(lam_new, ZX_new, zs_new)
@@ -252,10 +267,12 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         ssn_tol = jnp.maximum(bk1 / kf ** 2, opts.ssn_tol1)
         WX = -C + bk * (X + ak * VX) / ak ** 2
         ws = bk * (us + ak * vs) / ak ** 2  # wc slack block is zero
-        wlk = bk1 * (lam - (Hu(X, us) - b) / bk) - b
+        wlk = (bk1 * (lam - (Hu(X, us, acc).astype(hi) - b_hi) / bk)
+               - b_hi)
 
         key, sub = jax.random.split(key)
-        ssn = ssn_solve(WX, ws, wlk, lam, bk1, tk, ssn_tol, sub)
+        ssn = ssn_solve(WX, ws, wlk, lam.astype(hi), bk1.astype(hi), tk,
+                        ssn_tol, sub)
 
         lam1 = ssn.lam
         X1 = op.prox_nonneg(ssn.ZX)
@@ -264,7 +281,7 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         vs1 = us1 + (us1 - us) / ak
 
         kx, ky, kz, kl = op.kkt_class2(X1, us1[:n], us1[n:], lam1, C, b,
-                                       p, q, Phi)
+                                       p, q, Phi, acc)
         rr = jnp.max(jnp.stack([kx, ky, kz, kl]) / (1 + kkt_norm0))
         restart = jnp.logical_and(bk1 < opts.restart_bk_floor,
                                   rr > resk_prev)
@@ -276,8 +293,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         vs1 = jnp.where(restart, us, vs1)
 
         kx, ky, kz, kl = op.kkt_class2(X1, us1[:n], us1[n:], lam1, C, b,
-                                       p, q, Phi)
-        fxk = jnp.vdot(C, X1)
+                                       p, q, Phi, acc)
+        fxk = op.vdot_hi(C, X1, acc)
         avg = jnp.where(ssn.it > 0, ssn.it_sum // jnp.maximum(ssn.it, 1), -1)
         metrics = Outer2Metrics(
             kkt_x=kx, kkt_y=ky, kkt_z=kz, kkt_l=kl, fxk=fxk,
@@ -308,12 +325,15 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     b = prob.b
     dtype = C.dtype
 
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
     ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
-    X, lam = ws.X, ws.lam
+    X, lam = ws.X, ws.lam.astype(hi)
     us = jnp.concatenate([ws.y, ws.z])
     VX, vs = X, us
 
-    k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi)
+    k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi, acc)
     kkt0 = np.asarray([float(v) for v in k0])
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
@@ -327,7 +347,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         if ckpt.latest_step(checkpoint_dir) is not None:
             d = ckpt.load_dict(checkpoint_dir)
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
-            lam, bk, key = d["lam"], d["bk"], d["key"]
+            lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
             k_start = d["k"] + 1
 
     kkt_hist = [kkt0]
@@ -397,13 +417,16 @@ def solve_class2_chunked(prob: Class2Problem,
     b = prob.b
     dtype = C.dtype
 
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
     ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
-    X, lam = ws.X, ws.lam
+    X, lam = ws.X, ws.lam.astype(hi)
     us = jnp.concatenate([ws.y, ws.z])
     VX, vs = X, us
 
     k0 = jax.jit(lambda X, us, lam: op.kkt_class2(
-        X, us[:n], us[n:], lam, C, b, p, q, Phi))(X, us, lam)
+        X, us[:n], us[n:], lam, C, b, p, q, Phi, acc))(X, us, lam)
     kkt0 = np.asarray([float(v) for v in k0])
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
@@ -514,14 +537,18 @@ def solve_class2_fused(prob: Class2Problem,
     step = make_class2_step(prob, opts, solver, fused=True)
     maxit = opts.maxit
 
+    hi = jnp.float64 if (dtype == jnp.float32
+                         and jax.config.jax_enable_x64) else dtype
+    acc = hi if hi != dtype else None
+
     @jax.jit
     def run(key):
         ws = warmup_class2(prob, opts.warmup.maxit)
         X = ws.X
         us = jnp.concatenate([ws.y, ws.z])
-        lam = ws.lam
+        lam = ws.lam.astype(hi)
         VX, vs = X, us
-        k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi)
+        k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi, acc)
         kkt_norm0 = jnp.stack(k0)
 
         rec_kkt = jnp.zeros((maxit + 1, 4), dtype).at[0].set(kkt_norm0)

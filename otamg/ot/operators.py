@@ -175,11 +175,16 @@ def inv_hht(v: jax.Array, p: jax.Array, q: jax.Array, sg,
 
 
 def apply_H(X: jax.Array, y: jax.Array, z: jax.Array,
-            p: jax.Array, q: jax.Array, Phi: jax.Array) -> jax.Array:
+            p: jax.Array, q: jax.Array, Phi: jax.Array,
+            out_dtype=None) -> jax.Array:
     """``H @ (vec(X), y, z)`` = ``[A vec(X) + [y; z]; <phi, x>]``
-    (reference ``Class2/APD_SsN_Class2.m:60``)."""
-    top = apply_A(X, p, q) + jnp.concatenate([y, z])
-    bot = jnp.vdot(Phi, X)
+    (reference ``Class2/APD_SsN_Class2.m:60``).  ``out_dtype`` requests
+    high-precision accumulation of the O(mn) reductions (mixed-precision
+    mode, as :func:`apply_A`)."""
+    yz = jnp.concatenate([y, z])
+    top = apply_A(X, p, q, out_dtype) + (
+        yz if out_dtype is None else yz.astype(out_dtype))
+    bot = vdot_hi(Phi, X, out_dtype)
     return jnp.concatenate([top, bot[None]])
 
 
@@ -215,15 +220,18 @@ def kkt_class1(X: jax.Array, lam: jax.Array, C: jax.Array, b: jax.Array,
 
 def kkt_class2(X: jax.Array, y: jax.Array, z: jax.Array, lam: jax.Array,
                C: jax.Array, b: jax.Array, p: jax.Array, q: jax.Array,
-               Phi: jax.Array):
+               Phi: jax.Array, out_dtype=None):
     """Four KKT residual norms for Class 2 (partial OT), reference
-    ``Class2/APD_SsN_Class2.m:56-59``."""
+    ``Class2/APD_SsN_Class2.m:56-59``.  ``out_dtype`` requests
+    high-precision accumulation (as :func:`kkt_class1`)."""
     n = q.shape[0]
-    kkt_l = jnp.linalg.norm(apply_H(X, y, z, p, q, Phi) - b)
-    lam_n, lam_m = lam[:n], lam[n:n + X.shape[0]]
-    kkt_z = jnp.linalg.norm(z - jnp.maximum(z - lam_m, 0.0))
-    kkt_y = jnp.linalg.norm(y - jnp.maximum(y - lam_n, 0.0))
-    Gt = apply_At(lam[:-1], p, q) + lam[-1] * Phi
+    hb = b if out_dtype is None else b.astype(out_dtype)
+    kkt_l = jnp.linalg.norm(apply_H(X, y, z, p, q, Phi, out_dtype) - hb)
+    lam_lo = lam.astype(X.dtype)
+    lam_n, lam_m = lam_lo[:n], lam_lo[n:n + X.shape[0]]
+    kkt_z = norm_hi(z - jnp.maximum(z - lam_m, 0.0), out_dtype)
+    kkt_y = norm_hi(y - jnp.maximum(y - lam_n, 0.0), out_dtype)
+    Gt = apply_At(lam_lo[:-1], p, q) + lam_lo[-1] * Phi
     Rx = X - jnp.maximum(X - C - Gt, 0.0)
-    kkt_x = jnp.linalg.norm(Rx.ravel())
+    kkt_x = norm_hi(Rx.ravel(), out_dtype)
     return kkt_x, kkt_y, kkt_z, kkt_l
