@@ -18,6 +18,13 @@ jax.config.update("jax_enable_x64", True)
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: multi-minute end-to-end fixture runs (deselect with "
+        "-m 'not slow')")
+
+
 REF = "/root/reference"
 
 

@@ -1,0 +1,50 @@
+"""Fixture-trajectory regression contracts (SURVEY.md section 4).
+
+The repo's most important numerical invariants: the reference 500x500
+input fixtures converge in an exact iteration count through the AMG inner
+solver — Class-1 ``data1-500.mat`` at it=58 (f64 AND the fp32
+mixed-precision solver path identically; ``Class1/APD_SsN_Class1.m:264-268``)
+and Class-2 ``data4-500.mat`` at it=53
+(``Class2/APD_SsN_Class2.m:276-280``).  A coarsening/smoothing/precision
+tweak that drifts the trajectory must fail here, not in a benchmark.
+"""
+
+import os
+
+import pytest
+
+from otamg.config import APDOptions, InnerSolver
+from otamg.opt import solve_class1
+from otamg.opt.apd2 import solve_class2
+from otamg.ot import load_class1_mat, load_class2_mat
+
+pytestmark = pytest.mark.slow
+
+
+def _skip_unless(path):
+    if not os.path.exists(path):
+        pytest.skip(f"reference fixture {path} not available")
+
+
+@pytest.mark.parametrize("solve_dtype", [None, "float32"])
+def test_class1_fixture_it58(class1_fixture_path, solve_dtype):
+    _skip_unless(class1_fixture_path)
+    prob = load_class1_mat(class1_fixture_path)
+    opts = APDOptions(inner_solver=InnerSolver.AMG, solve_dtype=solve_dtype)
+    res = solve_class1(prob, opts)
+    assert res.converged
+    assert res.iters == 58, f"trajectory drift: it={res.iters} != 58"
+    assert res.fail_count == 0
+    # W-cycle budget: every AMG solve stays well under the reference
+    # maxit=30 (observed max 10-11 cycles).
+    assert int(res.solver_itnum[:, 2].max()) <= 12
+    assert not res.restarts.any()
+
+
+def test_class2_fixture_it53(class2_fixture_path):
+    _skip_unless(class2_fixture_path)
+    prob = load_class2_mat(class2_fixture_path)
+    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10)
+    res = solve_class2(prob, opts)
+    assert res.converged
+    assert res.iters == 53, f"trajectory drift: it={res.iters} != 53"
