@@ -49,9 +49,25 @@ NewtonSolver = Callable[..., NewtonSolveResult]
 
 def make_pcg_solver(p: jax.Array, q: jax.Array,
                     opts: PCGOptions = PCGOptions()) -> NewtonSolver:
-    """Matrix-free Jacobi-PCG on ``Jk`` (reference ``inner_solver=2`` with
-    the ``ASAtz`` operator twist; Jacobi is the reference default
-    preconditioner, ``PCG.m:23``)."""
+    """Matrix-free PCG on ``Jk`` (reference ``inner_solver=2`` with the
+    ``ASAtz`` operator twist; Jacobi is the reference default
+    preconditioner, ``PCG.m:23``).
+
+    ``opts.precd`` selects NONE, JACOBI or BI_SSOR — the three menu
+    entries (``PCG.m:34-66``) that admit a matrix-free form on the
+    bipartite block structure ``Jk = [[V, U], [U^T, T]]`` (``V``/``T``
+    diagonal, ``U = diag(q) Y^T diag(p) / tk``).  SSOR/ICHOL need the
+    assembled matrix; use :func:`otamg.krylov.pcg.pcg_matrix` for those.
+    """
+    from otamg.config import Preconditioner
+
+    if opts.precd in (Preconditioner.SSOR, Preconditioner.ICHOL):
+        raise ValueError(
+            f"{opts.precd} needs the assembled matrix; the matrix-free "
+            "Newton PCG supports NONE/JACOBI/BI_SSOR (use pcg_matrix for "
+            "SSOR/ICHOL)")
+    n = q.shape[0]
+    _P = jax.lax.Precision.HIGHEST
 
     def solve(S, tvec, bk1, tk, rhs, key=None) -> NewtonSolveResult:
         del key
@@ -62,8 +78,34 @@ def make_pcg_solver(p: jax.Array, q: jax.Array,
             return bk1 * v + (tvec * v
                               + op.apply_asat(v, S, p, q, d1, d2)) / tk
 
-        r = pcg(matvec, rhs, lambda v: v / diag,
-                retol=opts.retol, maxit=opts.maxit)
+        if opts.precd == Preconditioner.NONE:
+            precond = lambda r: r
+        elif opts.precd == Preconditioner.BI_SSOR:
+            # Explicit bipartite-SSOR inverse (``PCG.m:55-66``), matrix-
+            # free: the off-diagonal block application is two masked GEMVs.
+            omega = opts.omega
+            scale = omega * (2.0 - omega)
+            invV = 1.0 / diag[:n]
+            invT = 1.0 / diag[n:]
+
+            def U_mv(r2):   # (m,) -> (n,)
+                return q * jnp.matmul(S.T, p * r2, precision=_P) / tk
+
+            def Ut_mv(r1):  # (n,) -> (m,)
+                return p * jnp.matmul(S, q * r1, precision=_P) / tk
+
+            def precond(r):
+                r1, r2 = r[:n], r[n:]
+                t = Ut_mv(invV * r1)
+                p1 = (invV * r1
+                      + omega ** 2 * invV * U_mv(invT * t)
+                      - omega * invV * U_mv(invT * r2))
+                p2 = -omega * invT * t + invT * r2
+                return scale * jnp.concatenate([p1, p2])
+        else:
+            precond = lambda v: v / diag
+
+        r = pcg(matvec, rhs, precond, retol=opts.retol, maxit=opts.maxit)
         zero = jnp.int32(0)
         return NewtonSolveResult(r.x, r.iters, r.res, zero, zero)
 
