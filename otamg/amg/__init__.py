@@ -8,8 +8,10 @@ from otamg.amg.hierarchy import (  # noqa: F401
     BipartiteLevel,
     DenseLevel,
     amg_solve,
+    amg_solve_matrix,
     bip_matvec,
     capacity_schedule,
     make_cycle,
     setup_hierarchy,
+    setup_hierarchy_generic,
 )

@@ -168,6 +168,15 @@ def mis_dense(As: jax.Array, active: jax.Array, key: jax.Array,
 
         isC, isF, isU, _, _ = lax.while_loop(
             cond, body, (isC0, isF0, isU0, deg, jnp.int32(0)))
+        # Tiny-level guard: with <= N0 active nodes the loop never runs
+        # and C stays empty — the reference never reaches this state
+        # because it stops coarsening on the *actual* level size
+        # (Class_AMG.m:76) while our static capacity schedule keeps
+        # going.  An empty C set would zero out every deeper level, so
+        # absorb the undecided nodes into C (the loop's own <= N0
+        # absorption rule, applied to the degenerate entry case).
+        none = jnp.logical_not(jnp.any(isC))
+        isC = jnp.logical_or(isC, jnp.logical_and(none, isU))
         return CFSplit(isC, jnp.logical_and(isF, jnp.logical_not(isC)))
 
     isC, isF = lax.cond(connected < 0.25 * jnp.sqrt(Ncnt), bailout, greedy,

@@ -226,9 +226,20 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     nsp2 = nsp[n:]
 
     caps = capacity_schedule(m, N, opts)
+    dense_levels = _build_dense_chain(A2, active2, labels2, nsp2, caps,
+                                      opts, key, nseg)
+    return lv1, dense_levels
+
+
+def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
+                       key: jax.Array, nseg: int) -> tuple:
+    """Build the chain of padded dense levels (MIS coarsening) starting
+    from ``A0`` at capacity ``caps[0]``, ending with the eigendecomposed
+    coarsest level."""
+    dtype = A0.dtype
     dense_levels = []
-    A_cur, act_cur, lab_cur, nsp_cur = A2, active2, labels2, nsp2
-    P_cur = jnp.zeros((0, 0), dtype)  # unused for level 2
+    A_cur, act_cur, lab_cur, nsp_cur = A0, act0, lab0, nsp0
+    P_cur = jnp.zeros((0, 0), dtype)  # unused for the chain head
     no_vec = jnp.zeros((0, 0), jnp.float64)
     no_val = jnp.zeros((0,), jnp.float64)
 
@@ -265,7 +276,35 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
         (A_cur, act_cur, lab_cur, nsp_cur, P_cur) = _coarsen_dense(
             A_cur, act_cur, lab_cur, nsp_cur, cap_next, opts, sub)
 
-    return lv1, tuple(dense_levels)
+    return tuple(dense_levels)
+
+
+def setup_hierarchy_generic(A: jax.Array, opts: AMGOptions,
+                            key: jax.Array,
+                            labels: jax.Array | None = None,
+                            nsp: jax.Array | None = None) -> Hierarchy:
+    """Generic (non-bigph) hierarchy for an arbitrary SPD dense matrix:
+    weighted-Jacobi fine-level smoothing and MIS/standard-interpolation
+    coarsening from level 1 down (the reference's ``bigph=0`` path,
+    ``Class_AMG.m:72`` + ``transfer.m:30-66``).
+
+    Returns ``(chain[0], chain[1:])`` so :func:`amg_solve` accepts it
+    directly — the cycle dispatches on the level type, not the level
+    index.
+    """
+    N = A.shape[0]
+    dtype = A.dtype
+    if labels is None:
+        labels = jnp.zeros(N, jnp.int32)
+    if nsp is None:
+        nsp = jnp.zeros(N, bool)
+    caps = [N]
+    target = _coarse_target(N)
+    while caps[-1] > target and len(caps) < opts.max_levels:
+        caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
+    chain = _build_dense_chain(A, jnp.ones(N, bool), labels, nsp, caps,
+                               opts, key, N)
+    return chain[0], chain[1:]
 
 
 def _coarsen_dense(A, active, labels, nsp, cap_next: int,
@@ -371,18 +410,22 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
     id_of = {op: i for i, op in enumerate(op_ids)}
     tape_codes = jnp.asarray([id_of[t] for t in tape], jnp.int32)
 
-    def cycle(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
-              r0: jax.Array):
+    def cycle(lv1: BipartiteLevel | DenseLevel,
+              dense: Sequence[DenseLevel], r0: jax.Array):
         n_plus_m = r0.shape[0]
         dtype = r0.dtype
         levels = [lv1] + list(dense)
+        # Level 0 is either the structured bipartite level (bigph, the
+        # product path) or a plain dense level (the generic non-bigph
+        # hierarchy, Class_AMG.m:72); dispatch on the type, not the index.
+        bip0 = isinstance(lv1, BipartiteLevel)
 
         def lvl_matvec(l, v):
-            return bip_matvec(levels[l], v) if l == 0 \
+            return bip_matvec(levels[l], v) if l == 0 and bip0 \
                 else dense_matvec(levels[l], v)
 
         def lvl_smooth(l, e, r, transpose):
-            if l == 0:
+            if l == 0 and bip0:
                 return _projected_smooth(bip_matvec, bip_smooth_apply,
                                          levels[l], e, r, smoth_it,
                                          transpose, nseg)
@@ -392,14 +435,14 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
 
         def restrict(l, rr):
             # from level l to l+1
-            if l == 0:
+            if l == 0 and bip0:
                 n = lv1.W.shape[0]
                 return rr[n:] + _mm(lv1.W.T, rr[:n])
             return _mm(levels[l + 1].P.T, rr)
 
         def prolong(l, ec):
             # from level l+1 back to l
-            if l == 0:
+            if l == 0 and bip0:
                 return jnp.concatenate([_mm(lv1.W, ec), ec])
             return _mm(levels[l + 1].P, ec)
 
@@ -426,7 +469,8 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                     es[l] = lvl_smooth(l, es[l], rs[l], True)
                 elif kind == "coarse":
                     lv = levels[l]
-                    if coarse_direct and l > 0 and lv.evecs.shape[0] > 0:
+                    if coarse_direct and isinstance(lv, DenseLevel) \
+                            and lv.evecs.shape[0] > 0:
                         # Spectrally-filtered direct solve via the
                         # setup-time f64 eigendecomposition (two tiny
                         # GEMVs); eigendirections below the solve-dtype
@@ -439,7 +483,7 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                     else:
                         # Coarsest solve: Jacobi-PCG with the reference PCG
                         # defaults (MG_Vcycle.m:43, PCG.m:18-27).
-                        if l == 0:
+                        if isinstance(lv, BipartiteLevel):
                             dg = lv.g
                             mv = lambda v: bip_matvec(lv, v)
                         else:
@@ -475,19 +519,22 @@ class AMGSolveResult(NamedTuple):
     rel_res: jax.Array
 
 
-def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
+def amg_solve(lv1: BipartiteLevel | DenseLevel,
+              dense: Sequence[DenseLevel],
               b: jax.Array, guess: jax.Array, opts: AMGOptions
               ) -> AMGSolveResult:
     """Stationary iteration ``x += cycle(b - A x)`` with relative-residual
     stopping and the divergence guard ``rho_k > 1 -> break``
-    (``Class_AMG.m:95-106``)."""
+    (``Class_AMG.m:95-106``).  ``lv1`` may be the structured bipartite
+    level (bigph) or a plain dense level (generic hierarchy)."""
     nseg = b.shape[0]
     gamma = 2 if opts.cycle == Cycle.W else 1
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
                        opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
                        opts.coarse_solver == "direct")
+    mv0 = bip_matvec if isinstance(lv1, BipartiteLevel) else dense_matvec
 
-    res0 = jnp.linalg.norm(b - bip_matvec(lv1, guess))
+    res0 = jnp.linalg.norm(b - mv0(lv1, guess))
     safe0 = jnp.where(res0 == 0, 1.0, res0)
     # Low-precision floor on the relative tolerance (never binds in fp64).
     retol_eff = jnp.maximum(jnp.asarray(opts.retol, b.dtype),
@@ -499,10 +546,10 @@ def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
 
     def body(c):
         it, x, rel, rho, _ = c
-        r = b - bip_matvec(lv1, x)
+        r = b - mv0(lv1, x)
         e = cycle(lv1, dense, r)
         x_new = x + e
-        res = jnp.linalg.norm(b - bip_matvec(lv1, x_new))
+        res = jnp.linalg.norm(b - mv0(lv1, x_new))
         # NaN guard (the reference's commented check, Class_AMG.m:79-81):
         # a non-finite cycle result is treated as divergence — revert and
         # stop rather than poisoning the Newton step.
@@ -519,3 +566,18 @@ def amg_solve(lv1: BipartiteLevel, dense: Sequence[DenseLevel],
             jnp.asarray(0.0, b.dtype), res0 == 0)
     it, x, rel, rho, _ = lax.while_loop(cond, body, init)
     return AMGSolveResult(x, it, rel)
+
+
+def amg_solve_matrix(A: jax.Array, b: jax.Array,
+                     opts: AMGOptions = AMGOptions(),
+                     guess: jax.Array | None = None,
+                     key: jax.Array | None = None) -> AMGSolveResult:
+    """Standalone generic AMG solve of ``A x = b`` for an SPD dense
+    matrix — the reference's ``Class_AMG.m`` entry point with ``bigph=0``
+    (weighted-Jacobi fine smoothing, MIS coarsening throughout)."""
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    if guess is None:
+        guess = jnp.zeros_like(b)
+    lv0, rest = setup_hierarchy_generic(A, opts, key)
+    return amg_solve(lv0, rest, b, guess, opts)

@@ -116,9 +116,25 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
     E, g, kdiag, _, q0 = _transform(S, tvec, bk1, tk,
                                     jnp.zeros_like(tvec), p, q)
     labels, nsp, ncomp = _component_info(E, kdiag)
-    lv1, dense = setup_hierarchy(E.astype(lo), g.astype(lo),
-                                 jnp.asarray(1.0 / tk, lo),
-                                 labels, nsp, opts, key)
+    if opts.bigph:
+        lv1, dense = setup_hierarchy(E.astype(lo), g.astype(lo),
+                                     jnp.asarray(1.0 / tk, lo),
+                                     labels, nsp, opts, key)
+    else:
+        # Non-bigph mode (``Class_AMG.m:72``): ignore the bipartite
+        # structure — assemble the dense ``Ae`` and run the generic
+        # weighted-Jacobi/MIS hierarchy.  The reference drivers always set
+        # bigph=1; this path exists for parity with the AMG library mode.
+        from otamg.amg.hierarchy import setup_hierarchy_generic
+
+        nn = q.shape[0]
+        mm = p.shape[0]
+        Elo = E.astype(lo)
+        Ae = jnp.block(
+            [[jnp.zeros((nn, nn), lo), Elo.T],
+             [Elo, jnp.zeros((mm, mm), lo)]]) * jnp.asarray(-1.0 / tk, lo)
+        Ae = Ae + jnp.diag(g.astype(lo))
+        lv1, dense = setup_hierarchy_generic(Ae, opts, key, labels, nsp)
 
     n = q.shape[0]
     N = tvec.shape[0]
