@@ -48,10 +48,35 @@ def _common(sub):
     sub.add_argument("--plot", help="PNG plot prefix")
     sub.add_argument("--checkpoint", help="checkpoint directory (orbax)")
     sub.add_argument("--verbose", "-v", action="store_true")
+    sub.add_argument("--coordinator",
+                     help="multi-host: coordinator address host:port for "
+                          "jax.distributed.initialize (or set "
+                          "OTAMG_COORDINATOR); every process runs the same "
+                          "command")
+    sub.add_argument("--num-processes", type=int,
+                     help="multi-host: total process count (or "
+                          "OTAMG_NUM_PROCESSES; auto-detected on cloud "
+                          "TPU slices)")
+    sub.add_argument("--process-id", type=int,
+                     help="multi-host: this process's index (or "
+                          "OTAMG_PROCESS_ID)")
+    sub.add_argument("--shard", action="store_true",
+                     help="row-block shard the problem over all (global) "
+                          "devices before solving")
 
 
 def _setup_jax(args):
     import jax
+
+    # Multi-host initialization must precede any other JAX use.
+    from otamg.dist import init_multihost
+
+    if init_multihost(getattr(args, "coordinator", None),
+                      getattr(args, "num_processes", None),
+                      getattr(args, "process_id", None)):
+        print(f"multi-host: process {jax.process_index()}/"
+              f"{jax.process_count()}, {len(jax.devices())} global / "
+              f"{len(jax.local_devices())} local devices", file=sys.stderr)
 
     if not args.fp32:
         jax.config.update("jax_enable_x64", True)
@@ -104,6 +129,10 @@ def cmd_class1(args) -> int:
     else:
         prob = random_class1(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype)
+    if args.shard:
+        from otamg.dist import make_mesh, shard_class1
+
+        prob = shard_class1(prob, make_mesh())
     if args.checkpoint and args.driver != "loop":
         print("warning: --checkpoint only checkpoints per-iteration with "
               "--driver loop; the chunked/fused drivers run multiple "
@@ -150,6 +179,10 @@ def cmd_class2(args) -> int:
     else:
         prob = random_class2(jax.random.PRNGKey(args.seed), args.m, args.n,
                              dtype=dtype, mu_frac=args.mu_frac)
+    if args.shard:
+        from otamg.dist import make_mesh, shard_class2
+
+        prob = shard_class2(prob, make_mesh())
     if args.checkpoint and args.driver != "loop":
         print("warning: --checkpoint only checkpoints per-iteration with "
               "--driver loop; the chunked/fused drivers run multiple "

@@ -33,11 +33,45 @@ from otamg.ot.problems import Class1Problem, Class2Problem
 
 def make_mesh(num_devices: Optional[int] = None,
               axis_name: str = "x") -> Mesh:
-    """1-D device mesh over the plan's row axis."""
+    """1-D device mesh over the plan's row axis.
+
+    After :func:`init_multihost`, ``jax.devices()`` spans every process's
+    devices, so the same mesh construction scales from one chip to a
+    multi-host slice: the row-block sharding keeps each block's collective
+    partners ICI-adjacent within a host and lets only the ``psum``
+    reductions cross the DCN."""
     devs = jax.devices()
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (axis_name,))
+
+
+def init_multihost(coordinator: Optional[str] = None,
+                   num_processes: Optional[int] = None,
+                   process_id: Optional[int] = None) -> bool:
+    """Initialize ``jax.distributed`` for multi-host execution (SURVEY.md
+    section 2.3: single process -> multi-host via
+    ``jax.distributed.initialize``; DCN across hosts, ICI within).
+
+    Arguments fall back to ``OTAMG_COORDINATOR`` / ``OTAMG_NUM_PROCESSES``
+    / ``OTAMG_PROCESS_ID`` environment variables (so launchers that only
+    control the environment work), and to JAX's own auto-detection for
+    ``None`` fields.  Returns False (no-op) when no coordinator is
+    configured — the single-process path.  Call before any other JAX use.
+    """
+    import os
+
+    coordinator = coordinator or os.environ.get("OTAMG_COORDINATOR")
+    if coordinator is None:
+        return False
+    if num_processes is None and "OTAMG_NUM_PROCESSES" in os.environ:
+        num_processes = int(os.environ["OTAMG_NUM_PROCESSES"])
+    if process_id is None and "OTAMG_PROCESS_ID" in os.environ:
+        process_id = int(os.environ["OTAMG_PROCESS_ID"])
+    jax.distributed.initialize(coordinator_address=coordinator,
+                               num_processes=num_processes,
+                               process_id=process_id)
+    return True
 
 
 def plan_sharding(mesh: Mesh, axis_name: str = "x") -> NamedSharding:

@@ -80,3 +80,52 @@ def test_spmv_halo_banded(mesh):
     got = spmv_halo(mesh, csr.ell_cols, csr.ell_vals, x, halo=halo)
     np.testing.assert_allclose(np.asarray(got), A @ np.asarray(x),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_distributed_assembly_matches_replicated(mesh):
+    """Explicit shard_map assembly (psum + all_gather) must reproduce the
+    replicated transform/ASAt diagonals exactly."""
+    from otamg.dist import asat_diags_sharded, transform_sharded
+    from otamg.hybrid.solver import _transform
+    from otamg.ot import operators as op
+
+    rng = np.random.default_rng(7)
+    m, n = 40, 24
+    p = jnp.asarray(rng.uniform(0.5, 1.5, m))
+    q = jnp.asarray(rng.uniform(0.5, 1.5, n))
+    S = jnp.asarray((rng.uniform(size=(m, n)) < 0.3).astype(np.float64))
+    tvec = jnp.asarray((rng.uniform(size=n + m) < 0.5).astype(np.float64))
+    bk1, tk = 1e-3, 0.8
+
+    d1, d2 = asat_diags_sharded(mesh, S, p, q)
+    d1_ref, d2_ref = op.asat_diags(S, p, q)
+    np.testing.assert_allclose(np.asarray(d1), np.asarray(d1_ref),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(d2), np.asarray(d2_ref),
+                               rtol=1e-13)
+
+    E, g, kdiag = transform_sharded(mesh, S, tvec, bk1, tk, p, q)
+    E_ref, g_ref, kdiag_ref, _, _ = _transform(S, tvec, bk1, tk,
+                                               jnp.zeros(n + m), p, q)
+    np.testing.assert_allclose(np.asarray(E), np.asarray(E_ref),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g_ref),
+                               rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(kdiag), np.asarray(kdiag_ref),
+                               rtol=1e-13)
+
+
+def test_sharded_solve_inserts_collectives(mesh):
+    """The implicitly-partitioned product path must actually communicate:
+    compiling apply_A on a row-sharded plan has to produce an all-reduce
+    (the ``X^T p`` contraction over the sharded axis)."""
+    prob = random_class1(jax.random.PRNGKey(0), 32, 24)
+    sp = shard_class1(prob, mesh)
+    X = jax.device_put(
+        jax.random.normal(jax.random.PRNGKey(1), (32, 24), jnp.float64),
+        jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("x", None)))
+    compiled = jax.jit(op.apply_A).lower(X, sp.p, sp.q).compile()
+    hlo = compiled.as_text()
+    assert ("all-reduce" in hlo) or ("all-gather" in hlo), \
+        "sharded apply_A compiled without any collective"
