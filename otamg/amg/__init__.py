@@ -6,6 +6,7 @@ from otamg.amg.graph import (  # noqa: F401
 from otamg.amg.hierarchy import (  # noqa: F401
     AMGSolveResult,
     BipartiteLevel,
+    CSRLevel,
     DenseLevel,
     amg_solve,
     amg_solve_matrix,

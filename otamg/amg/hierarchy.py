@@ -87,12 +87,51 @@ class DenseLevel(NamedTuple):
     #                     the deterministic equivalent, at two GEMVs/visit.
 
 
-Hierarchy = tuple  # (BipartiteLevel, tuple[DenseLevel, ...])
+class CSRLevel(NamedTuple):
+    """Sparse fine level for the generic hierarchy: the solve-phase hot
+    loop (matvecs + Jacobi sweeps, executed every cycle) runs on the ELL
+    container — a gather + row-sum that moves O(nnz) instead of O(N^2)
+    HBM traffic — while setup (strength/MIS/Galerkin, executed once)
+    densifies.  This is the sparse layer's product consumer: past the
+    crossover where the fine operator no longer pays for dense storage,
+    :func:`setup_hierarchy_generic` accepts a CSR and keeps level 0
+    sparse."""
+
+    ell_cols: jax.Array  # (N, row_cap) int32 padded column indices
+    ell_vals: jax.Array  # (N, row_cap) padded values
+    dg: jax.Array        # (N,) diagonal of A
+    labels: jax.Array    # (N,) component labels
+    nsp: jax.Array       # (N,) near-singular mask
+    Axi: jax.Array       # (N,)
+    xx: jax.Array        # (N,)
+
+
+Hierarchy = tuple  # (BipartiteLevel | DenseLevel | CSRLevel, tuple[...])
 
 
 # ---------------------------------------------------------------------------
 # Level operations
 # ---------------------------------------------------------------------------
+
+
+def csr_matvec(lv: CSRLevel, v: jax.Array) -> jax.Array:
+    return jnp.sum(lv.ell_vals * v[lv.ell_cols], axis=1)
+
+
+def csr_smooth_apply(lv: CSRLevel, r: jax.Array,
+                     transpose: bool) -> jax.Array:
+    """Weighted Jacobi, as :func:`dense_smooth_apply`."""
+    del transpose
+    return 0.5 * r / lv.dg
+
+
+def _level0_ops(lv):
+    """(matvec, smooth_apply) pair for a level-0 object of any type."""
+    if isinstance(lv, BipartiteLevel):
+        return bip_matvec, bip_smooth_apply
+    if isinstance(lv, CSRLevel):
+        return csr_matvec, csr_smooth_apply
+    return dense_matvec, dense_smooth_apply
 
 
 def bip_matvec(lv: BipartiteLevel, v: jax.Array) -> jax.Array:
@@ -279,21 +318,32 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
     return tuple(dense_levels)
 
 
-def setup_hierarchy_generic(A: jax.Array, opts: AMGOptions,
+def setup_hierarchy_generic(A, opts: AMGOptions,
                             key: jax.Array,
                             labels: jax.Array | None = None,
                             nsp: jax.Array | None = None) -> Hierarchy:
-    """Generic (non-bigph) hierarchy for an arbitrary SPD dense matrix:
+    """Generic (non-bigph) hierarchy for an arbitrary SPD matrix:
     weighted-Jacobi fine-level smoothing and MIS/standard-interpolation
     coarsening from level 1 down (the reference's ``bigph=0`` path,
     ``Class_AMG.m:72`` + ``transfer.m:30-66``).
+
+    ``A`` may be a dense ``(N, N)`` array or a
+    :class:`otamg.sparse.CSR`.  With a CSR input the one-time setup
+    densifies (strength/MIS/Galerkin are GEMM-shaped), but level 0 of the
+    returned hierarchy stays sparse — every solve-phase fine matvec and
+    smoothing sweep runs on the ELL container, O(nnz) HBM traffic instead
+    of O(N^2).
 
     Returns ``(chain[0], chain[1:])`` so :func:`amg_solve` accepts it
     directly — the cycle dispatches on the level type, not the level
     index.
     """
+    from otamg.sparse.containers import CSR
+
+    csr = A if isinstance(A, CSR) else None
+    if csr is not None:
+        A = csr.to_dense()
     N = A.shape[0]
-    dtype = A.dtype
     if labels is None:
         labels = jnp.zeros(N, jnp.int32)
     if nsp is None:
@@ -304,7 +354,11 @@ def setup_hierarchy_generic(A: jax.Array, opts: AMGOptions,
         caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
     chain = _build_dense_chain(A, jnp.ones(N, bool), labels, nsp, caps,
                                opts, key, N)
-    return chain[0], chain[1:]
+    head = chain[0]
+    if csr is not None and len(chain) > 1:
+        head = CSRLevel(csr.ell_cols, csr.ell_vals, jnp.diag(head.A),
+                        head.labels, head.nsp, head.Axi, head.xx)
+    return head, chain[1:]
 
 
 def _coarsen_dense(A, active, labels, nsp, cap_next: int,
@@ -415,20 +469,21 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
         n_plus_m = r0.shape[0]
         dtype = r0.dtype
         levels = [lv1] + list(dense)
-        # Level 0 is either the structured bipartite level (bigph, the
-        # product path) or a plain dense level (the generic non-bigph
-        # hierarchy, Class_AMG.m:72); dispatch on the type, not the index.
+        # Level 0 is the structured bipartite level (bigph, the product
+        # path), a plain dense level (generic non-bigph hierarchy,
+        # Class_AMG.m:72), or a CSR level (sparse fine operator past the
+        # dense crossover); dispatch on the type, not the index.
         bip0 = isinstance(lv1, BipartiteLevel)
+        mv0, sm0 = _level0_ops(lv1)
 
         def lvl_matvec(l, v):
-            return bip_matvec(levels[l], v) if l == 0 and bip0 \
+            return mv0(levels[l], v) if l == 0 \
                 else dense_matvec(levels[l], v)
 
         def lvl_smooth(l, e, r, transpose):
-            if l == 0 and bip0:
-                return _projected_smooth(bip_matvec, bip_smooth_apply,
-                                         levels[l], e, r, smoth_it,
-                                         transpose, nseg)
+            if l == 0:
+                return _projected_smooth(mv0, sm0, levels[l], e, r,
+                                         smoth_it, transpose, nseg)
             return _projected_smooth(dense_matvec, dense_smooth_apply,
                                      levels[l], e, r, smoth_it,
                                      transpose, nseg)
@@ -532,7 +587,7 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
                        opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
                        opts.coarse_solver == "direct")
-    mv0 = bip_matvec if isinstance(lv1, BipartiteLevel) else dense_matvec
+    mv0 = _level0_ops(lv1)[0]
 
     res0 = jnp.linalg.norm(b - mv0(lv1, guess))
     safe0 = jnp.where(res0 == 0, 1.0, res0)

@@ -259,3 +259,29 @@ def test_hybrid_amg_nonbigph_matches_bigph():
         err = np.linalg.norm(np.asarray(out.zeta) - want) \
             / np.linalg.norm(want)
         assert err < tol, f"bigph={bigph}: rel err {err:.2e}"
+
+
+def test_generic_amg_csr_fine_level_matches_dense():
+    """A CSR fine operator must produce the same generic-AMG result as the
+    dense one (identical math; solve-phase matvecs run on the ELL
+    container — the sparse layer's product consumer)."""
+    from otamg.amg.hierarchy import CSRLevel, amg_solve_matrix
+    from otamg.amg import setup_hierarchy_generic
+    from otamg.config import AMGOptions
+    from otamg.sparse import CSR
+
+    rng = np.random.default_rng(31)
+    A = _grid_laplacian(12, 10) + 0.01 * np.eye(120)
+    b = rng.standard_normal(120)
+    Aj = jnp.asarray(A)
+    csr = CSR.from_dense(Aj, row_cap=5)
+    opts = AMGOptions(maxit=60)
+
+    lv0, rest = setup_hierarchy_generic(csr, opts, jax.random.PRNGKey(0))
+    assert isinstance(lv0, CSRLevel)
+
+    res_d = amg_solve_matrix(Aj, jnp.asarray(b), opts)
+    res_s = amg_solve_matrix(csr, jnp.asarray(b), opts)
+    assert int(res_s.iters) == int(res_d.iters)
+    np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_d.x),
+                               rtol=1e-12, atol=1e-14)
