@@ -295,7 +295,16 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
         # solve dtype).  Padding rows carry an identity diagonal.
         if last:
             lam, evecs = jnp.linalg.eigh(A_cur.astype(jnp.float64))
-            cutoff = 4 * jnp.finfo(dtype).eps * jnp.max(jnp.abs(lam))
+            # Truncation margin: the restricted residual reaching the
+            # coarsest level carries a few-to-tens of ulps of solve-dtype
+            # matmul noise per restriction hop (more on the TPU MXU's
+            # multi-pass fp32 than on CPU FMA), so the low-precision
+            # cutoff needs real headroom above eps — at 4 eps the fp32
+            # cycle diverges on TPU in the small-bk1 regime while passing
+            # on CPU.  f64 stays at 4 eps (never binds in practice).
+            factor = 4.0 if dtype == jnp.float64 else float(
+                opts.coarse_cutoff_ulps)
+            cutoff = factor * jnp.finfo(dtype).eps * jnp.max(jnp.abs(lam))
             einv = jnp.where(lam > cutoff, 1.0 / jnp.where(lam > cutoff,
                                                            lam, 1.0), 0.0)
         else:

@@ -82,6 +82,11 @@ class AMGOptions:
     # own direct solve is the commented ``:44``).  Exactness makes the two
     # trajectory-equivalent to the PCG tolerance.
     coarse_solver: str = "direct"
+    # Spectral-truncation margin of the direct coarse solve for LOW solve
+    # dtypes, in ulps: eigenvalues below ``coarse_cutoff_ulps * eps(dtype)
+    # * lambda_max`` are dropped (the deterministic analogue of the
+    # reference PCG's low-precision stagnation floor).  f64 always uses 4.
+    coarse_cutoff_ulps: float = 256.0
     # Coarsest-grid target size: reference coarsens until
     # ``size <= 1 + floor(N_fine**(1/3))`` (``Class_AMG.m:76``).
 
