@@ -45,6 +45,7 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    jax.config.update("jax_enable_x64", True)
     try:
         jax.config.update("jax_compilation_cache_dir",
                           "/root/repo/.jax_cache")
