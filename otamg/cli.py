@@ -63,6 +63,9 @@ def _common(sub):
     sub.add_argument("--shard", action="store_true",
                      help="row-block shard the problem over all (global) "
                           "devices before solving")
+    sub.add_argument("--profile",
+                     help="capture a jax.profiler trace of the solve into "
+                          "this directory (view in TensorBoard/Perfetto)")
 
 
 def _setup_jax(args):
@@ -115,6 +118,18 @@ def _opts(args, class2=False):
                       seed=args.seed, solve_dtype=solve_dtype, amg=amg)
 
 
+def _maybe_profile(args):
+    """``--profile DIR``: capture a jax.profiler trace around the solve."""
+    import contextlib
+
+    if not getattr(args, "profile", None):
+        return contextlib.nullcontext()
+    from otamg.diag.profiling import trace
+
+    print(f"profiling to {args.profile}", file=sys.stderr)
+    return trace(args.profile)
+
+
 def cmd_class1(args) -> int:
     dtype = _setup_jax(args)
     import jax
@@ -137,14 +152,15 @@ def cmd_class1(args) -> int:
         print("warning: --checkpoint only checkpoints per-iteration with "
               "--driver loop; the chunked/fused drivers run multiple "
               "iterations per device program and skip it", file=sys.stderr)
-    if args.driver == "chunked":
-        res = solve_class1_chunked(prob, _opts(args), chunk=args.chunk,
-                                   verbose=args.verbose)
-    elif args.driver == "fused":
-        res = solve_class1_fused(prob, _opts(args))
-    else:
-        res = solve_class1(prob, _opts(args), verbose=args.verbose,
-                           checkpoint_dir=args.checkpoint)
+    with _maybe_profile(args):
+        if args.driver == "chunked":
+            res = solve_class1_chunked(prob, _opts(args), chunk=args.chunk,
+                                       verbose=args.verbose)
+        elif args.driver == "fused":
+            res = solve_class1_fused(prob, _opts(args))
+        else:
+            res = solve_class1(prob, _opts(args), verbose=args.verbose,
+                               checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:
@@ -187,15 +203,17 @@ def cmd_class2(args) -> int:
         print("warning: --checkpoint only checkpoints per-iteration with "
               "--driver loop; the chunked/fused drivers run multiple "
               "iterations per device program and skip it", file=sys.stderr)
-    if args.driver == "chunked":
-        res = solve_class2_chunked(prob, _opts(args, class2=True),
-                                   chunk=args.chunk, verbose=args.verbose)
-    elif args.driver == "fused":
-        res = solve_class2_fused(prob, _opts(args, class2=True))
-    else:
-        res = solve_class2(prob, _opts(args, class2=True),
-                           verbose=args.verbose,
-                           checkpoint_dir=args.checkpoint)
+    with _maybe_profile(args):
+        if args.driver == "chunked":
+            res = solve_class2_chunked(prob, _opts(args, class2=True),
+                                       chunk=args.chunk,
+                                       verbose=args.verbose)
+        elif args.driver == "fused":
+            res = solve_class2_fused(prob, _opts(args, class2=True))
+        else:
+            res = solve_class2(prob, _opts(args, class2=True),
+                               verbose=args.verbose,
+                               checkpoint_dir=args.checkpoint)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:

@@ -103,3 +103,18 @@ def test_checkpoint_resume_class2(tmp_path):
                            checkpoint_dir=ck, resume=True)
     np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X),
                                rtol=1e-10, atol=1e-12)
+
+
+def test_cli_profile_captures_trace(tmp_path):
+    """--profile wraps the solve in a jax.profiler trace (SURVEY.md
+    section 5.1) and writes a viewable artifact."""
+    import glob
+
+    from otamg.cli import main
+
+    tdir = str(tmp_path / "trace")
+    rc = main(["class1", "--m", "12", "--n", "12", "--inner", "pcg",
+               "--profile", tdir])
+    assert rc == 0
+    assert glob.glob(os.path.join(tdir, "plugins", "profile", "*")), \
+        "no profiler trace written"
