@@ -9,6 +9,8 @@ from otamg.dist.api import (  # noqa: F401
 )
 from otamg.dist.assembly import (  # noqa: F401
     asat_diags_sharded,
+    galerkin_sharded,
+    spgemm_rowsharded,
     transform_sharded,
 )
 from otamg.dist.spmv import spmv_allgather, spmv_halo  # noqa: F401

@@ -89,3 +89,59 @@ def transform_sharded(mesh: Mesh, S, tvec, bk1, tk, p, q,
         in_specs=(P(axis_name, None), P(), P(), P(), P(axis_name), P()),
         out_specs=(P(axis_name, None), P(), P()))(
             S, tvec, jnp.asarray(bk1), jnp.asarray(tk), p, q)
+
+
+def galerkin_sharded(mesh: Mesh, A, Pro, axis_name: str = "x"):
+    """Distributed Galerkin triple product ``Ac = P^T A P`` for a
+    row-block-sharded level operator ``A`` and replicated prolongation
+    ``P`` (``transfer.m:66``).
+
+    Each shard computes its local ``A_s P`` GEMM and the partial
+    ``P_s^T (A_s P)`` contraction over its own rows; one ``psum``
+    completes the sum over row blocks.  The coarse operator comes out
+    replicated — the coarse-grid agglomeration point of the sharding
+    design (levels at and below this size are cheap enough to replicate).
+    """
+    ndev = mesh.devices.size
+    nrows = A.shape[0]
+    assert nrows % ndev == 0, "rows must divide evenly over the mesh"
+    R = nrows // ndev
+
+    def local(A_s, Pr):
+        idx = lax.axis_index(axis_name)
+        AP = jnp.matmul(A_s, Pr, precision=_P)          # (R, c)
+        P_s = lax.dynamic_slice_in_dim(Pr, idx * R, R)  # my row block of P
+        return lax.psum(jnp.matmul(P_s.T, AP, precision=_P), axis_name)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name, None), P()),
+        out_specs=P())(A, Pro)
+
+
+def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
+                      b_ell_vals, axis_name: str = "x"):
+    """Distributed SpGEMM ``C = A B`` with ``A`` in row-block-sharded ELL
+    form and ``B`` replicated ELL.
+
+    Pure scatter-free expansion: output row ``i`` combines each stored
+    ``A[i, k]`` with ``B``'s row ``k``, yielding an ELL row of capacity
+    ``rcA * rcB`` that may contain duplicate columns — duplicates
+    represent the same linear operator (SpMV sums them), and ``A``'s
+    zero-padded slots carry zero values, contributing nothing.  No
+    communication at all: A's rows already live where C's rows go, B is
+    replicated (the framework's KKT-sized operands) — the point of the
+    row-block layout.
+    """
+
+    def local(acols, avals):
+        bc = b_ell_cols[acols]                     # (R, rcA, rcB)
+        bv = avals[..., None] * b_ell_vals[acols]  # (R, rcA, rcB)
+        Rr = acols.shape[0]
+        return bc.reshape(Rr, -1), bv.reshape(Rr, -1)
+
+    return shard_map(
+        local, mesh=mesh,
+        in_specs=(P(axis_name, None), P(axis_name, None)),
+        out_specs=(P(axis_name, None), P(axis_name, None)))(
+            a_ell_cols, a_ell_vals)

@@ -129,3 +129,40 @@ def test_sharded_solve_inserts_collectives(mesh):
     hlo = compiled.as_text()
     assert ("all-reduce" in hlo) or ("all-gather" in hlo), \
         "sharded apply_A compiled without any collective"
+
+
+def test_galerkin_sharded_matches_dense(mesh):
+    """Distributed P^T A P (local GEMMs + one psum) vs the dense triple
+    product."""
+    from otamg.dist import galerkin_sharded
+
+    rng = np.random.default_rng(8)
+    N, c = 64, 24
+    A = rng.standard_normal((N, N))
+    A = (A + A.T) / 2
+    Pr = rng.standard_normal((N, c))
+    got = galerkin_sharded(mesh, jnp.asarray(A), jnp.asarray(Pr))
+    want = Pr.T @ A @ Pr
+    np.testing.assert_allclose(np.asarray(got), want, rtol=1e-11,
+                               atol=1e-11)
+
+
+def test_spgemm_rowsharded_matches_dense(mesh):
+    """Distributed ELL x ELL product: the (duplicate-preserving) output
+    ELL must represent A @ B exactly (checked by densification)."""
+    from otamg.dist import spgemm_rowsharded
+    from otamg.sparse import CSR
+
+    rng = np.random.default_rng(9)
+    N = 64
+    A = rng.standard_normal((N, N)) * (rng.uniform(size=(N, N)) < 0.1)
+    B = rng.standard_normal((N, N)) * (rng.uniform(size=(N, N)) < 0.1)
+    ca = CSR.from_dense(jnp.asarray(A), row_cap=16)
+    cb = CSR.from_dense(jnp.asarray(B), row_cap=16)
+    cc, cv = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
+                               cb.ell_cols, cb.ell_vals)
+    dense = np.zeros((N, N))
+    rows = np.broadcast_to(np.arange(N)[:, None], cc.shape)
+    np.add.at(dense, (rows.ravel(), np.asarray(cc).ravel()),
+              np.asarray(cv).ravel())
+    np.testing.assert_allclose(dense, A @ B, rtol=1e-11, atol=1e-11)
