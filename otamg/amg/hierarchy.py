@@ -241,9 +241,10 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     # --- level 1: ideal interpolation W = -Aff^{-1} Afc = diag(1/g1) E^T/tk
     g1 = g[:n]
     W = (E.T / g1[:, None]) * inv_tk
-    # isnsp row-normalization (transfer.m:22-24), per near-singular node.
+    # isnsp row-normalization (transfer.m:22-24), per near-singular node;
+    # relative guard as in _coarsen_dense (healthy rows sum to ~1).
     rowsum = jnp.sum(W, axis=1)
-    norm_mask = jnp.logical_and(nsp[:n], jnp.abs(rowsum) > 0)
+    norm_mask = jnp.logical_and(nsp[:n], jnp.abs(rowsum) > 0.01)
     W = jnp.where(norm_mask[:, None],
                   W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
 
@@ -401,9 +402,15 @@ def _coarsen_dense(A, active, labels, nsp, cap_next: int,
         W2 = -dinv[:, None] * _mm(AFFs, W1)
         W = W1 + 0.5 * W2
     # Near-null-space row normalization (transfer.m:60-62), per-node.
+    # Guard is RELATIVE, not the reference's ~0 test: an F node whose
+    # interpolation weights sum to ~0 (no strong C neighbor in its
+    # component after an unlucky threshold flip) would have its row
+    # divided by that tiny sum — an exploding prolongation turns the
+    # whole cycle divergent (rho > 1).  Healthy rows sum to O(1); only
+    # those are safe to normalize.
     rowsum = jnp.sum(W, axis=1)
     norm_mask = jnp.logical_and(jnp.logical_and(isF, nsp),
-                                jnp.abs(rowsum) > 1e-300)
+                                jnp.abs(rowsum) > 0.01)
     W = jnp.where(norm_mask[:, None],
                   W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
 

@@ -29,8 +29,14 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+import os
+
 from otamg.amg.graph import connected_components_bipartite
 from otamg.amg.hierarchy import amg_solve, setup_hierarchy
+
+# Diagnostic tracing of the mixed-precision refinement loop (adds host
+# syncs; debug runs only).
+_DEBUG_REFINE = bool(os.environ.get("OTAMG_DEBUG_REFINE"))
 from otamg.config import AMGOptions, PCGOptions
 from otamg.krylov.pcg import pcg
 from otamg.opt.newton import NewtonSolveResult, NewtonSolver
@@ -211,13 +217,27 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
             return jnp.logical_and(rel > target, rounds < refine)
 
         def refine_body(c):
-            w, _, rounds, its = c
+            w, rel_prev, rounds, its = c
             wd, a, r = residual(w)
             cor = amg_solve(lv1, dense, r.astype(lo), zeros_lo, opts)
             w2 = wd + cor.x.astype(hi)
             _, _, r2 = residual(w2)
             rel = jnp.linalg.norm(r2) / safe_nf
-            return w2, rel, rounds + 1, jnp.maximum(its, cor.iters)
+            if _DEBUG_REFINE:
+                jax.debug.print(
+                    "REFINE round={r} rel={rel:.3e} cor_it={ci} "
+                    "cor_rel={cr:.3e} bk1={b:.3e}", r=rounds, rel=rel,
+                    ci=cor.iters, cr=cor.rel_res, b=bk1)
+            # Safeguard: a correction that does not reduce the true
+            # residual (the fp32 cycle diverged — rho>1 bail-outs at
+            # extreme bk1 — or stagnated) is REVERTED, and the loop ends
+            # by jumping the round counter; refinement may stop early but
+            # can never make the Newton step worse than its best iterate.
+            ok = rel < rel_prev
+            w2 = jnp.where(ok, w2, wd)
+            rel = jnp.where(ok, rel, rel_prev)
+            rounds = jnp.where(ok, rounds + 1, jnp.int32(refine))
+            return w2, rel, rounds, jnp.maximum(its, cor.iters)
 
         w0 = guess.astype(hi)
         _, _, r0 = residual(w0)
