@@ -55,17 +55,26 @@ def _bench_once(cls: str, inner: str):
 
     from otamg.config import APDOptions, InnerSolver
 
+    # Driver: the loop driver pays one relay round trip per APD iteration
+    # (~0.5 s each over the axon tunnel); the chunked driver amortizes 8
+    # iterations per dispatch.  Both are trajectory-identical (tested).
+    driver = os.environ.get("OTAMG_BENCH_DRIVER", "loop")
+
     if cls == "class1":
-        from otamg.opt import solve_class1 as solve
+        from otamg.opt import solve_class1, solve_class1_chunked
         from otamg.ot import load_class1_mat as load, random_class1 as rnd
 
+        solve = (solve_class1 if driver == "loop"
+                 else lambda p, o: solve_class1_chunked(p, o, chunk=8))
         path = "/root/reference/Class1/InputData/data1-500.mat"
         opts = APDOptions(inner_solver=InnerSolver[inner],
                           solve_dtype=solve_dtype)
     else:
-        from otamg.opt.apd2 import solve_class2 as solve
+        from otamg.opt.apd2 import solve_class2, solve_class2_chunked
         from otamg.ot import load_class2_mat as load, random_class2 as rnd
 
+        solve = (solve_class2 if driver == "loop"
+                 else lambda p, o: solve_class2_chunked(p, o, chunk=8))
         path = "/root/reference/Class2/InputData/data4-500.mat"
         opts = APDOptions(inner_solver=InnerSolver[inner],
                           ssn_tol1=1e-10, solve_dtype=solve_dtype)
@@ -93,6 +102,7 @@ def _bench_once(cls: str, inner: str):
         "fails": int(res.fail_count),
         "platform": platform,
         "inner": inner,
+        "driver": driver,
     }
     print("BENCH_RESULT " + json.dumps(out), flush=True)
     return 0 if ok else 1
