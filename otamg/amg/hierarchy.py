@@ -173,7 +173,7 @@ def dense_smooth_apply(lv: DenseLevel, r: jax.Array,
 
 
 def _projected_smooth(matvec, smooth_apply, lv, e, r, smoth_it: int,
-                      transpose: bool, nseg: int):
+                      transpose: bool, nseg: int, deflated: bool = False):
     """``smoth_it`` sweeps of (per-component kernel-projected) smoothing.
 
     Generalizes ``MG_Vcycle.m:14-24``: on each sweep the residual's mean
@@ -181,8 +181,32 @@ def _projected_smooth(matvec, smooth_apply, lv, e, r, smoth_it: int,
     component's constant vector, via segment sums keyed on component
     labels; components that are not near-singular get a zero coefficient,
     reducing to the plain sweep ``e += R (r - A e)``.
+
+    ``deflated=True`` (the mixed-precision correction solves): instead of
+    SOLVING the kernel coordinate, project it OUT after every sweep.  At
+    the solve dtype the Galerkin coarse matrices carry roundoff
+    ~eps*|A| in their actual kernel-mode curvature, which at small bk1
+    dwarfs the true curvature bk1*xi'Qxi — the 1-D kernel Newton step
+    then uses a wrong (even wrong-signed) curvature and the kernel
+    coordinate AMPLIFIES ~30x per cycle.  The surrounding f64 (a, w)
+    algebra (``build_he_solver``) handles that coordinate exactly, so the
+    cycle must simply keep its iterates kernel-free.
     """
     xi = lv.nsp.astype(r.dtype)  # project only on near-singular components
+
+    if deflated:
+        cnt = jax.ops.segment_sum(xi, lv.labels, num_segments=nseg)
+        safe_cnt = jnp.where(cnt > 0, cnt, 1.0)
+
+        def sweep(_, e):
+            g = r - matvec(lv, e)
+            e = e + smooth_apply(lv, g, transpose)
+            mean = jax.ops.segment_sum(e * xi, lv.labels,
+                                       num_segments=nseg) / safe_cnt
+            return e - xi * jnp.where(lv.nsp, mean[lv.labels], 0.0)
+
+        return lax.fori_loop(0, smoth_it, sweep, e)
+
     safe_xx = jnp.where(jnp.abs(lv.xx) > 0, lv.xx, 1.0)
 
     def sweep(_, e):
@@ -225,7 +249,8 @@ def _component_xx(matvec, lv_partial, active_f, labels, nseg):
 
 def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
                     labels: jax.Array, nsp: jax.Array,
-                    opts: AMGOptions, key: jax.Array) -> Hierarchy:
+                    opts: AMGOptions, key: jax.Array,
+                    gk: jax.Array | None = None) -> Hierarchy:
     """Build the full hierarchy for ``Ae = diag(g) - E/tk``.
 
     ``labels``/``nsp`` come from the hybrid layer's component analysis.
@@ -233,6 +258,17 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     bigraph ideal interpolation of ``transfer.m:19-25`` and MIS/standard
     interpolation (effective ``W1 + 0.5 W2`` — see ``transfer.m:49-56``'s
     always-true guard) on coarser levels.
+
+    ``gk`` is the NON-Laplacian part of the diagonal, ``bk1 Q + K/tk``,
+    which equals ``Ae @ xi`` exactly on every component indicator ``xi``
+    (the Laplacian part annihilates per-component constants).  The
+    kernel-projection quantities ``Axi``/``xx`` are built from it
+    analytically: evaluating ``Ae @ 1`` by matvec instead subtracts two
+    nearly-equal ~|g|-sized quantities, and once ``bk1 |Q| < eps |g|``
+    (late outer iterations in fp32) the result is pure cancellation noise
+    with the wrong sign — the projected smoother then ADDS kernel error
+    and the whole cycle diverges.  Without ``gk`` (generic callers) the
+    matvec fallback is used.
     """
     m, n = E.shape
     N = n + m
@@ -252,10 +288,18 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     lv1_partial = BipartiteLevel(E, g, jnp.asarray(inv_tk, dtype), W,
                                  labels, nsp,
                                  jnp.zeros(N, dtype), jnp.ones(N, dtype))
-    ones_fine = jnp.ones(N, dtype)
-    Axi1 = bip_matvec(lv1_partial, ones_fine)
-    xx1 = jax.ops.segment_sum(Axi1, labels, num_segments=nseg)[labels]
-    lv1 = lv1_partial._replace(Axi=Axi1, xx=xx1)
+    if gk is None:
+        ones_fine = jnp.ones(N, dtype)
+        Axi1 = bip_matvec(lv1_partial, ones_fine)
+        xxseg = jax.ops.segment_sum(Axi1, labels, num_segments=nseg)
+        axi2 = None
+    else:
+        Axi1 = gk.astype(dtype)
+        xxseg = jax.ops.segment_sum(Axi1, labels, num_segments=nseg)
+        # Exact restriction of Axi through P = [W; I]: nonnegative GEMV,
+        # no cancellation.
+        axi2 = _mm(W.T, Axi1[:n]) + Axi1[n:]
+    lv1 = lv1_partial._replace(Axi=Axi1, xx=xxseg[labels])
 
     # --- level 2: Galerkin P^T Ae P with P = [W; I]  (m x m dense)
     G1W = g1[:, None] * W
@@ -268,18 +312,28 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
 
     caps = capacity_schedule(m, N, opts)
     dense_levels = _build_dense_chain(A2, active2, labels2, nsp2, caps,
-                                      opts, key, nseg)
+                                      opts, key, nseg,
+                                      axi0=axi2, xxseg=xxseg)
     return lv1, dense_levels
 
 
 def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
-                       key: jax.Array, nseg: int) -> tuple:
+                       key: jax.Array, nseg: int,
+                       axi0=None, xxseg=None) -> tuple:
     """Build the chain of padded dense levels (MIS coarsening) starting
     from ``A0`` at capacity ``caps[0]``, ending with the eigendecomposed
-    coarsest level."""
+    coarsest level.
+
+    With ``axi0``/``xxseg`` given, the kernel-projection quantities are
+    propagated analytically — ``Axi_{l+1} = P^T Axi_l`` (exact on the
+    normalized nsp rows, the only ones the projection uses) and ``xx``
+    is level-invariant per component — instead of re-evaluated by matvec,
+    which cancels catastrophically once ``bk1`` is below the solve-dtype
+    roundoff of the level diagonal (see :func:`setup_hierarchy`)."""
     dtype = A0.dtype
     dense_levels = []
     A_cur, act_cur, lab_cur, nsp_cur = A0, act0, lab0, nsp0
+    axi_cur = axi0
     P_cur = jnp.zeros((0, 0), dtype)  # unused for the chain head
     no_vec = jnp.zeros((0, 0), jnp.float64)
     no_val = jnp.zeros((0,), jnp.float64)
@@ -314,10 +368,13 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
         lvd_partial = DenseLevel(A_cur, act_cur, P_cur, lab_cur, nsp_cur,
                                  jnp.zeros(cap, dtype), jnp.ones(cap, dtype),
                                  evecs, einv)
-        xi = act_cur.astype(dtype)
-        Axi = dense_matvec(lvd_partial, xi)
-        xx = jax.ops.segment_sum(xi * Axi, lab_cur, num_segments=nseg)
-        lvd = lvd_partial._replace(Axi=Axi, xx=xx[lab_cur])
+        if axi_cur is None:
+            xi = act_cur.astype(dtype)
+            Axi = dense_matvec(lvd_partial, xi)
+            xx = jax.ops.segment_sum(xi * Axi, lab_cur, num_segments=nseg)
+            lvd = lvd_partial._replace(Axi=Axi, xx=xx[lab_cur])
+        else:
+            lvd = lvd_partial._replace(Axi=axi_cur, xx=xxseg[lab_cur])
         dense_levels.append(lvd)
         if last:
             break
@@ -325,6 +382,8 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
         key, sub = jax.random.split(key)
         (A_cur, act_cur, lab_cur, nsp_cur, P_cur) = _coarsen_dense(
             A_cur, act_cur, lab_cur, nsp_cur, cap_next, opts, sub)
+        if axi_cur is not None:
+            axi_cur = _mm(P_cur.T, axi_cur)
 
     return tuple(dense_levels)
 
@@ -461,7 +520,7 @@ def _gen_tape(num_levels: int, gamma: int) -> list[tuple[str, int]]:
 
 def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                coarse_retol: float = 1e-11, coarse_maxit: int = 10_000,
-               coarse_direct: bool = True):
+               coarse_direct: bool = True, deflated: bool = False):
     """Build ``cycle(lv1, dense_levels, r) -> e`` executing one V/W cycle.
 
     The tape is static; the scan body is a ``lax.switch`` over the
@@ -501,10 +560,11 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
         def lvl_smooth(l, e, r, transpose):
             if l == 0:
                 return _projected_smooth(mv0, sm0, levels[l], e, r,
-                                         smoth_it, transpose, nseg)
+                                         smoth_it, transpose, nseg,
+                                         deflated)
             return _projected_smooth(dense_matvec, dense_smooth_apply,
                                      levels[l], e, r, smoth_it,
-                                     transpose, nseg)
+                                     transpose, nseg, deflated)
 
         def restrict(l, rr):
             # from level l to l+1
@@ -552,6 +612,18 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                         # (see DenseLevel.einv).
                         rc = rs[l].astype(jnp.float64)
                         e_c = lv.evecs @ (lv.einv * (lv.evecs.T @ rc))
+                        if deflated:
+                            # Keep the coarse correction kernel-free too
+                            # (the spectral filter truncates most of it;
+                            # this removes the rest exactly).
+                            xi_c = lv.nsp.astype(jnp.float64)
+                            cntc = jax.ops.segment_sum(
+                                xi_c, lv.labels, num_segments=nseg)
+                            mean = jax.ops.segment_sum(
+                                e_c * xi_c, lv.labels, num_segments=nseg
+                            ) / jnp.where(cntc > 0, cntc, 1.0)
+                            e_c = e_c - xi_c * jnp.where(
+                                lv.nsp, mean[lv.labels], 0.0)
                         es[l] = e_c.astype(dtype)
                     else:
                         # Coarsest solve: Jacobi-PCG with the reference PCG
@@ -594,17 +666,19 @@ class AMGSolveResult(NamedTuple):
 
 def amg_solve(lv1: BipartiteLevel | DenseLevel,
               dense: Sequence[DenseLevel],
-              b: jax.Array, guess: jax.Array, opts: AMGOptions
-              ) -> AMGSolveResult:
+              b: jax.Array, guess: jax.Array, opts: AMGOptions,
+              deflated: bool = False) -> AMGSolveResult:
     """Stationary iteration ``x += cycle(b - A x)`` with relative-residual
     stopping and the divergence guard ``rho_k > 1 -> break``
     (``Class_AMG.m:95-106``).  ``lv1`` may be the structured bipartite
-    level (bigph) or a plain dense level (generic hierarchy)."""
+    level (bigph) or a plain dense level (generic hierarchy).
+    ``deflated=True`` keeps all iterates kernel-free (mixed-precision
+    correction solves; see :func:`_projected_smooth`)."""
     nseg = b.shape[0]
     gamma = 2 if opts.cycle == Cycle.W else 1
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
                        opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
-                       opts.coarse_solver == "direct")
+                       opts.coarse_solver == "direct", deflated)
     mv0 = _level0_ops(lv1)[0]
 
     res0 = jnp.linalg.norm(b - mv0(lv1, guess))

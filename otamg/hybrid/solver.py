@@ -123,9 +123,15 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
                                     jnp.zeros_like(tvec), p, q)
     labels, nsp, ncomp = _component_info(E, kdiag)
     if opts.bigph:
+        # Non-Laplacian diagonal bk1*Q + K/tk == Ae @ (component
+        # indicator), exactly — the analytic form of the kernel-projection
+        # quantities (computed in the problem dtype, cast once; see
+        # setup_hierarchy's gk doc for why the matvec form cancels).
+        qp2_t = jnp.concatenate([q * q, p * p])
+        gk = (bk1 * qp2_t + kdiag / tk).astype(lo)
         lv1, dense = setup_hierarchy(E.astype(lo), g.astype(lo),
                                      jnp.asarray(1.0 / tk, lo),
-                                     labels, nsp, opts, key)
+                                     labels, nsp, opts, key, gk=gk)
     else:
         # Non-bigph mode (``Class_AMG.m:72``): ignore the bipartite
         # structure — assemble the dense ``Ae`` and run the generic
@@ -219,7 +225,8 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
         def refine_body(c):
             w, rel_prev, rounds, its = c
             wd, a, r = residual(w)
-            cor = amg_solve(lv1, dense, r.astype(lo), zeros_lo, opts)
+            cor = amg_solve(lv1, dense, r.astype(lo), zeros_lo, opts,
+                            deflated=True)
             w2 = wd + cor.x.astype(hi)
             _, _, r2 = residual(w2)
             rel = jnp.linalg.norm(r2) / safe_nf
