@@ -69,10 +69,11 @@ class DenseLevel(NamedTuple):
     nsp: jax.Array      # (c,) bool
     Axi: jax.Array      # (c,)
     xx: jax.Array       # (c,)
-    evecs: jax.Array    # (c, c) f64 eigenvectors of A (coarsest level only;
-    #                     (0, 0) elsewhere) — eigendecomposed ONCE at setup
-    #                     so each coarse visit is two tiny GEMVs.
-    einv: jax.Array     # (c,) f64 *filtered* inverse eigenvalues:
+    evecs: jax.Array    # (c, c) eigenvectors of A in the solve dtype
+    #                     (coarsest level only; (0, 0) elsewhere) —
+    #                     eigendecomposed ONCE at setup so each coarse
+    #                     visit is two tiny GEMVs.
+    einv: jax.Array     # (c,) *filtered* inverse eigenvalues:
     #                     1/lambda_i where lambda_i > 4 eps(solve dtype) *
     #                     lambda_max, else 0.  The coarsest operator carries
     #                     near-kernel eigenvalues ~bk1; an EXACT solve maps
@@ -335,8 +336,8 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
     A_cur, act_cur, lab_cur, nsp_cur = A0, act0, lab0, nsp0
     axi_cur = axi0
     P_cur = jnp.zeros((0, 0), dtype)  # unused for the chain head
-    no_vec = jnp.zeros((0, 0), jnp.float64)
-    no_val = jnp.zeros((0,), jnp.float64)
+    no_vec = jnp.zeros((0, 0), dtype)
+    no_val = jnp.zeros((0,), dtype)
 
     for li, cap in enumerate(caps):
         last = li == len(caps) - 1
@@ -350,7 +351,15 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
         # DenseLevel.einv doc for why exact inversion is unstable at the
         # solve dtype).  Padding rows carry an identity diagonal.
         if last:
-            lam, evecs = jnp.linalg.eigh(A_cur.astype(jnp.float64))
+            # Eigendecompose in the SOLVE dtype: the spectral filter below
+            # truncates everything under ~256 ulps of lambda_max, so the
+            # retained spectrum has condition <= ~1/(256 eps) — well
+            # within the dtype's factorization range, and the deflated
+            # cycle handles the truncated directions elsewhere.  (An f64
+            # factor was only needed by the earlier exact-solve design;
+            # on TPU f64 eigh is software-emulated and cost ~seconds per
+            # hierarchy setup.)
+            lam, evecs = jnp.linalg.eigh(A_cur)
             # Truncation margin: the restricted residual reaching the
             # coarsest level carries a few-to-tens of ulps of solve-dtype
             # matmul noise per restriction hop (more on the TPU MXU's
@@ -605,18 +614,18 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                     if coarse_direct and isinstance(lv, DenseLevel) \
                             and lv.evecs.shape[0] > 0:
                         # Spectrally-filtered direct solve via the
-                        # setup-time f64 eigendecomposition (two tiny
+                        # setup-time eigendecomposition (two tiny
                         # GEMVs); eigendirections below the solve-dtype
                         # noise floor are truncated — the deterministic
                         # equivalent of the reference PCG's stagnation
                         # (see DenseLevel.einv).
-                        rc = rs[l].astype(jnp.float64)
+                        rc = rs[l].astype(lv.evecs.dtype)
                         e_c = lv.evecs @ (lv.einv * (lv.evecs.T @ rc))
                         if deflated:
                             # Keep the coarse correction kernel-free too
                             # (the spectral filter truncates most of it;
                             # this removes the rest exactly).
-                            xi_c = lv.nsp.astype(jnp.float64)
+                            xi_c = lv.nsp.astype(e_c.dtype)
                             cntc = jax.ops.segment_sum(
                                 xi_c, lv.labels, num_segments=nseg)
                             mean = jax.ops.segment_sum(
