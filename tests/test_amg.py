@@ -287,3 +287,51 @@ def test_generic_amg_csr_fine_level_matches_dense():
     assert int(res_s.iters) == int(res_d.iters)
     np.testing.assert_allclose(np.asarray(res_s.x), np.asarray(res_d.x),
                                rtol=1e-12, atol=1e-14)
+
+
+@pytest.mark.slow
+def test_extreme_bk1_newton_system_refines():
+    """Regression: the it=40 Newton system from the TPU fp32 trajectory
+    (spanning-tree active set, one giant near-singular component,
+    bk1 ~ 6.5e-6) — the state where (a) matvec-computed kernel-projection
+    quantities cancel to noise and (b) the solve-dtype Galerkin roundoff
+    dwarfs the true kernel curvature.  The mixed-precision he_solve must
+    refine it below the reference tolerance; before the analytic-gk +
+    deflated-cycle fixes it diverged (rel ~1 after safeguarding)."""
+    import os
+
+    from otamg.hybrid.solver import build_he_solver
+    from otamg.ot import load_class1_mat
+    from otamg.ot import operators as op
+
+    path = os.path.join(os.path.dirname(__file__), "data",
+                        "state39_tpu_fp32.npz")
+    fixture = "/root/reference/Class1/InputData/data1-500.mat"
+    if not os.path.exists(fixture):
+        pytest.skip("reference fixture not available")
+    prob = load_class1_mat(fixture)
+    d = np.load(path)
+    X = jnp.asarray(d["X"])
+    V = jnp.asarray(d["V"])
+    lam = jnp.asarray(d["lam"])
+    bk = jnp.asarray(d["bk"])
+    dtype = X.dtype
+    C, b, p, q, gama = prob.C, prob.b, prob.p, prob.q, prob.gama
+    k = jnp.asarray(40, jnp.int32).astype(dtype)
+    ak = jnp.sqrt(k ** 2 * bk)
+    bk1 = bk / (1 + ak)
+    tk = bk * (1 + ak) / ak ** 2
+    Wk = -C + bk * (X + ak * V) / ak ** 2
+    Zk = (Wk - op.apply_At(lam.astype(dtype), p, q)) / tk
+    S = jnp.logical_and(Zk >= 0, Zk <= gama).astype(dtype)
+    b_hi = b.astype(jnp.float64)
+    wlk = (bk1 * (lam - (op.apply_A(X, p, q, jnp.float64) - b_hi) / bk)
+           - b_hi)
+    Fk = (bk1 * lam - op.apply_A(op.prox_box(Zk, gama), p, q,
+                                 jnp.float64) - wlk)
+    he, ncomp = build_he_solver(
+        S, jnp.zeros(1000, dtype), jnp.asarray(bk1, dtype),
+        jnp.asarray(tk, dtype), p.astype(dtype), q.astype(dtype),
+        AMGOptions(), "float32", 10, jnp.float64, jax.random.PRNGKey(7))
+    zeta, iters, rel = he(-Fk, jax.random.PRNGKey(8))
+    assert float(rel) < 1e-11, f"refinement stalled at rel={float(rel):.2e}"
