@@ -37,11 +37,12 @@ def _common(sub):
     sub.add_argument("--driver", default="loop",
                      choices=["loop", "chunked", "fused"],
                      help="loop: one host dispatch per APD iteration "
-                          "(logging/checkpoint; the TPU default until the "
-                          "chunked program is validated on the real chip); "
-                          "chunked: N iterations per dispatch; fused: "
-                          "whole solve in one program (known to fault the "
-                          "axon TPU worker — see CLAUDE.md)")
+                          "(logging/checkpoint; fastest on TPU — measured "
+                          "2.6x faster than chunked on the real chip); "
+                          "chunked: N iterations per dispatch (TPU-"
+                          "validated, trajectory-identical, slower); "
+                          "fused: whole solve in one program (known to "
+                          "fault the axon TPU worker — see CLAUDE.md)")
     sub.add_argument("--chunk", type=int, default=8,
                      help="iterations per dispatch for --driver chunked")
     sub.add_argument("--log", help="JSONL per-iteration record path")
