@@ -30,43 +30,75 @@ def ell_spmv_xla(ell_cols, ell_vals, x):
     return jnp.sum(ell_vals * x[ell_cols], axis=1)
 
 
-def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref):
+def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
+    # Mosaic's tpu.dynamic_gather has two hardware constraints: the index
+    # array must have the same shape as the operand, and the gather
+    # dimension must span a single vreg (<=128 lanes).  The grid therefore
+    # tiles the ELL capacity into 128-wide index tiles (grid dim t) so the
+    # cols/vals blocks arrive vreg-aligned, and the kernel sweeps the
+    # source vector 128 lanes at a time, accumulating masked per-chunk
+    # lane gathers into the revisited output block.  HBM traffic stays
+    # cols+vals streamed once (Pallas skips the DMA when the block index
+    # is unchanged across t).  Compute inflates by n/128 chunks, so this
+    # kernel targets moderate row lengths (the KKT systems here are
+    # m+n ~ 1e3-1e4); bigger n wants a banded/sorted variant.
+    t = pl.program_id(1)
     cols = cols_ref[...]
     vals = vals_ref[...]
+    b = cols.shape[0]
     x = x_ref[...]
-    gathered = jnp.take(x, cols, axis=0, fill_value=0)
-    out_ref[...] = jnp.sum(vals * gathered, axis=1)
+
+    @pl.when(t == 0)
+    def _init():
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+
+    g = jnp.zeros((b, 128), vals.dtype)
+    for c in range(n_chunks):
+        chunk = jnp.broadcast_to(x[c:c + 1, :], (b, 128))
+        local = cols - c * 128
+        valid = (local >= 0) & (local < 128)
+        safe = jnp.where(valid, local, 0)
+        g = jnp.where(valid, jnp.take_along_axis(chunk, safe, axis=1), g)
+    out_ref[...] += jnp.sum(vals * g, axis=1, keepdims=True)
 
 
 def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
              block_rows: int = 256, interpret: bool = False) -> jax.Array:
-    """Pallas ELL SpMV: grid over row blocks; ``x`` stays resident in VMEM
-    for every block; ``cols``/``vals`` stream through once (the roofline
-    traffic)."""
+    """Pallas ELL SpMV: grid over (row blocks, 128-wide capacity tiles);
+    ``x`` stays resident in VMEM for every block; ``cols``/``vals`` stream
+    through once (the roofline traffic)."""
     nr, cap = ell_cols.shape
+    n = x.shape[0]
+    if cap >= n:  # denser than ELL pays for
+        return ell_spmv_xla(ell_cols, ell_vals, x)
     nb = -(-nr // block_rows)
     pad = nb * block_rows - nr
-    if pad:
-        ell_cols = jnp.pad(ell_cols, ((0, pad), (0, 0)))
-        ell_vals = jnp.pad(ell_vals, ((0, pad), (0, 0)))
+    nt = -(-cap // 128)                 # cap tiles of 128 for the gather
+    capp = nt * 128 - cap
+    if pad or capp:
+        ell_cols = jnp.pad(ell_cols, ((0, pad), (0, capp)))
+        ell_vals = jnp.pad(ell_vals, ((0, pad), (0, capp)))
+    nc = -(-n // 128)                   # 128-lane source chunks
+    x2 = jnp.pad(x, (0, nc * 128 - n)).reshape(nc, 128)
     out = pl.pallas_call(
-        _spmv_kernel,
-        out_shape=jax.ShapeDtypeStruct((nb * block_rows,), ell_vals.dtype),
-        grid=(nb,),
+        functools.partial(_spmv_kernel, n_chunks=nc),
+        out_shape=jax.ShapeDtypeStruct((nb * block_rows, 1),
+                                       ell_vals.dtype),
+        grid=(nb, nt),
         in_specs=[
-            pl.BlockSpec((block_rows, cap), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((block_rows, cap), lambda i: (i, 0),
+            pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(x.shape, lambda i: (0,),
+            pl.BlockSpec(x2.shape, lambda i, t: (0, 0),
                          memory_space=pl.ANY if interpret else pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((block_rows,), lambda i: (i,),
+        out_specs=pl.BlockSpec((block_rows, 1), lambda i, t: (i, 0),
                                memory_space=pl.ANY if interpret
                                else pltpu.VMEM),
         interpret=interpret,
-    )(ell_cols, ell_vals, x)
-    return out[:nr]
+    )(ell_cols, ell_vals, x2)
+    return out[:nr, 0]
 
 
 def bipartite_gs_sweep_xla(E, g, inv_tk, r1, r2):
