@@ -52,14 +52,20 @@ def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
     def _init():
         out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
 
-    g = jnp.zeros((b, 128), vals.dtype)
-    for c in range(n_chunks):
-        chunk = jnp.broadcast_to(x[c:c + 1, :], (b, 128))
-        local = cols - c * 128
-        valid = (local >= 0) & (local < 128)
-        safe = jnp.where(valid, local, 0)
-        g = jnp.where(valid, jnp.take_along_axis(chunk, safe, axis=1), g)
-    out_ref[...] += jnp.sum(vals * g, axis=1, keepdims=True)
+    # Trace with x64 off: under jax_enable_x64 take_along_axis builds
+    # int64 iota indices internally, and Mosaic's i64 emulation recurses
+    # past Python's stack limit during lowering.  Operands here are
+    # f32/i32 regardless, so this only pins the internal index dtype.
+    with jax.enable_x64(False):
+        g = jnp.zeros((b, 128), vals.dtype)
+        for c in range(n_chunks):
+            chunk = jnp.broadcast_to(x[c:c + 1, :], (b, 128))
+            local = cols - c * 128
+            valid = (local >= 0) & (local < 128)
+            safe = jnp.where(valid, local, 0)
+            g = jnp.where(valid,
+                          jnp.take_along_axis(chunk, safe, axis=1), g)
+        out_ref[...] += jnp.sum(vals * g, axis=1, keepdims=True)
 
 
 def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
@@ -71,6 +77,12 @@ def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
     n = x.shape[0]
     if cap >= n:  # denser than ELL pays for
         return ell_spmv_xla(ell_cols, ell_vals, x)
+    if jnp.dtype(ell_vals.dtype).itemsize == 8 or \
+            jnp.dtype(x.dtype).itemsize == 8:
+        return ell_spmv_xla(ell_cols, ell_vals, x)  # Mosaic has no f64
+    # int64 indices (jax_enable_x64) trip Mosaic's i64 emulation into a
+    # RecursionError during lowering; i32 always suffices for row lengths.
+    ell_cols = ell_cols.astype(jnp.int32)
     nb = -(-nr // block_rows)
     pad = nb * block_rows - nr
     nt = -(-cap // 128)                 # cap tiles of 128 for the gather
