@@ -20,7 +20,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def run_class1(m, n, cycle, inner, mesh=None, label=""):
+def run_class1(m, n, cycle, inner, mesh=None, label="",
+               explicit_dist=False):
     import jax
 
     from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
@@ -35,7 +36,7 @@ def run_class1(m, n, cycle, inner, mesh=None, label=""):
         prob = shard_class1(prob, mesh)
     opts = APDOptions(
         inner_solver=InnerSolver[inner], solve_dtype=solve_dtype,
-        amg=AMGOptions(cycle=Cycle[cycle]))
+        amg=AMGOptions(cycle=Cycle[cycle]), explicit_dist=explicit_dist)
     res = solve_class1(prob, opts)  # warm-up/compile
     t0 = time.time()
     res = solve_class1(prob, opts)
@@ -47,6 +48,7 @@ def run_class1(m, n, cycle, inner, mesh=None, label=""):
         "converged": bool(res.converged), "iters": int(res.iters),
         "time_s": round(dt, 3),
         "fail": int(res.fail_count),
+        "explicit_dist": explicit_dist,
     }))
     return res
 
@@ -116,6 +118,21 @@ def main():
             size = 1024 // shrink
             run_class1(size, size, "W", "AMG",
                        label=f"cfg4_class1_{size}_1chip")
+    if 5 in configs:
+        # BASELINE config 5: 2048^2 with EXPLICIT distributed KKT assembly
+        # (shard_map psum/all_gather, ``ASAt.m:14-19`` ->
+        # ``otamg.dist.assembly.transform_sharded``) feeding the AMG
+        # hierarchy, row-sharded over every visible device.
+        ndev = len(jax.devices())
+        size = 2048 // shrink
+        mesh = None
+        if ndev > 1:
+            from otamg.dist import make_mesh
+
+            mesh = make_mesh(ndev)
+        run_class1(size, size, "W", "AMG", mesh=mesh,
+                   label=f"cfg5_class1_{size}_dist{ndev}_explicit",
+                   explicit_dist=True)
 
 
 if __name__ == "__main__":

@@ -48,6 +48,9 @@ def _common(sub):
     sub.add_argument("--log", help="JSONL per-iteration record path")
     sub.add_argument("--plot", help="PNG plot prefix")
     sub.add_argument("--checkpoint", help="checkpoint directory (orbax)")
+    sub.add_argument("--resume", action="store_true",
+                     help="resume from the latest checkpoint in "
+                          "--checkpoint (loop and chunked drivers)")
     sub.add_argument("--verbose", "-v", action="store_true")
     sub.add_argument("--coordinator",
                      help="multi-host: coordinator address host:port for "
@@ -149,19 +152,22 @@ def cmd_class1(args) -> int:
         from otamg.dist import make_mesh, shard_class1
 
         prob = shard_class1(prob, make_mesh())
-    if args.checkpoint and args.driver != "loop":
-        print("warning: --checkpoint only checkpoints per-iteration with "
-              "--driver loop; the chunked/fused drivers run multiple "
-              "iterations per device program and skip it", file=sys.stderr)
+    if args.checkpoint and args.driver == "fused":
+        print("warning: --checkpoint is ignored with --driver fused (the "
+              "whole solve is one device program); use loop (per-"
+              "iteration) or chunked (per-chunk)", file=sys.stderr)
     with _maybe_profile(args):
         if args.driver == "chunked":
             res = solve_class1_chunked(prob, _opts(args), chunk=args.chunk,
-                                       verbose=args.verbose)
+                                       verbose=args.verbose,
+                                       checkpoint_dir=args.checkpoint,
+                                       resume=args.resume)
         elif args.driver == "fused":
             res = solve_class1_fused(prob, _opts(args))
         else:
             res = solve_class1(prob, _opts(args), verbose=args.verbose,
-                               checkpoint_dir=args.checkpoint)
+                               checkpoint_dir=args.checkpoint,
+                               resume=args.resume)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:
@@ -200,21 +206,24 @@ def cmd_class2(args) -> int:
         from otamg.dist import make_mesh, shard_class2
 
         prob = shard_class2(prob, make_mesh())
-    if args.checkpoint and args.driver != "loop":
-        print("warning: --checkpoint only checkpoints per-iteration with "
-              "--driver loop; the chunked/fused drivers run multiple "
-              "iterations per device program and skip it", file=sys.stderr)
+    if args.checkpoint and args.driver == "fused":
+        print("warning: --checkpoint is ignored with --driver fused (the "
+              "whole solve is one device program); use loop (per-"
+              "iteration) or chunked (per-chunk)", file=sys.stderr)
     with _maybe_profile(args):
         if args.driver == "chunked":
             res = solve_class2_chunked(prob, _opts(args, class2=True),
                                        chunk=args.chunk,
-                                       verbose=args.verbose)
+                                       verbose=args.verbose,
+                                       checkpoint_dir=args.checkpoint,
+                                       resume=args.resume)
         elif args.driver == "fused":
             res = solve_class2_fused(prob, _opts(args, class2=True))
         else:
             res = solve_class2(prob, _opts(args, class2=True),
                                verbose=args.verbose,
-                               checkpoint_dir=args.checkpoint)
+                               checkpoint_dir=args.checkpoint,
+                               resume=args.resume)
     rep = solver_report(res)
     print(json.dumps(rep))
     if args.log:

@@ -139,6 +139,12 @@ class APDOptions:
     # solvers polish via f64 iterative refinement (TPU mode: f64 APD
     # layer, fp32 MXU hierarchy).
     solve_dtype: Optional[str] = None
+    # Distributed assembly with EXPLICIT collectives (shard_map psum /
+    # all_gather, :mod:`otamg.dist.assembly`) for the hybrid transform,
+    # instead of relying on the implicit XLA SPMD partitioner.  Uses a 1-D
+    # mesh over all visible devices; tested trajectory-equal to the
+    # implicit path (``ASAt.m:14-19`` -> ``transform_sharded``).
+    explicit_dist: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

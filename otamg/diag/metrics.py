@@ -53,7 +53,24 @@ def solver_report(res) -> dict[str, Any]:
         "inner_sum": int(getattr(res, "inner_total", 0)),
         "fail_count": int(res.fail_count),
         "restarts": int(np.sum(res.restarts)) if len(res.restarts) else 0,
-    }
+    } | _info_block(res)
+
+
+def _info_block(res) -> dict[str, Any]:
+    """The reference's ``info = [num_comp, it_num]`` from the final outer
+    iteration's last Newton solve (``Hybrid_AMG.m:113``): component count
+    and the ordinal of the last >100-node (AMG-solved) component."""
+    nc = getattr(res, "info_ncomp", None)
+    ll = getattr(res, "info_last", None)
+    if nc is None or ll is None or len(np.atleast_1d(nc)) == 0:
+        return {}
+    nc = np.asarray(nc)
+    ll = np.asarray(ll)
+    # Outer iterations whose SsN loop exits at entry run no Newton solve
+    # and record ncomp=0; report the most recent iteration that did solve.
+    hits = np.nonzero(nc > 0)[0]
+    i = hits[-1] if hits.size else -1
+    return {"ncomp": int(nc[i]), "last_large": int(ll[i])}
 
 
 def plot_run(res, out_prefix: str) -> list[str]:

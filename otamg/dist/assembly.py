@@ -119,8 +119,43 @@ def galerkin_sharded(mesh: Mesh, A, Pro, axis_name: str = "x"):
         out_specs=P())(A, Pro)
 
 
+def ell_row_sum_duplicates(cols, vals, out_cap: int):
+    """Per-row duplicate merge for ELL blocks: sort each row by column,
+    sum runs of equal columns, and compress the merged entries into
+    ``out_cap`` leading slots (groups beyond capacity are dropped by the
+    scatter, never mis-accumulated).
+
+    Padding slots (col 0 / val 0 by the container invariant) merge into a
+    single zero-valued col-0 group, so a compacted row keeps the same
+    padding invariant; one slot may be spent on that group, making the
+    effective capacity ``out_cap - 1`` in the worst case.
+
+    Zero-VALUED entries at arbitrary columns (e.g. products of an A
+    padding slot against B's real row 0 in the SpGEMM expansion) are
+    remapped to the padding column before grouping — they contribute
+    nothing to the operator, and counting them as distinct groups would
+    let them displace real entries under a tight ``out_cap``.
+    """
+    cols = jnp.where(vals == 0, 0, cols)
+    order = jnp.argsort(cols, axis=1)
+    cs = jnp.take_along_axis(cols, order, axis=1)
+    vs = jnp.take_along_axis(vals, order, axis=1)
+    is_new = jnp.concatenate(
+        [jnp.ones_like(cs[:, :1], bool), cs[:, 1:] != cs[:, :-1]], axis=1)
+    gid = jnp.cumsum(is_new, axis=1) - 1
+    R = cols.shape[0]
+    rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
+                            gid.shape)
+    out_c = jnp.zeros((R, out_cap), cols.dtype)
+    out_v = jnp.zeros((R, out_cap), vals.dtype)
+    out_c = out_c.at[rows, gid].set(cs, mode="drop")
+    out_v = out_v.at[rows, gid].add(vs, mode="drop")
+    return out_c, out_v
+
+
 def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
-                      b_ell_vals, axis_name: str = "x"):
+                      b_ell_vals, axis_name: str = "x",
+                      out_cap: int | None = None):
     """Distributed SpGEMM ``C = A B`` with ``A`` in row-block-sharded ELL
     form and ``B`` replicated ELL.
 
@@ -132,13 +167,21 @@ def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
     communication at all: A's rows already live where C's rows go, B is
     replicated (the framework's KKT-sized operands) — the point of the
     row-block layout.
+
+    ``out_cap`` bounds the output row capacity by merging duplicate
+    columns locally (per shard, no communication) after the expansion —
+    without it, chained products (the Galerkin ``P^T A P`` chain,
+    ``transfer.m:66``) grow capacity as ``rcA * rcB`` per hop.
     """
 
     def local(acols, avals):
         bc = b_ell_cols[acols]                     # (R, rcA, rcB)
         bv = avals[..., None] * b_ell_vals[acols]  # (R, rcA, rcB)
         Rr = acols.shape[0]
-        return bc.reshape(Rr, -1), bv.reshape(Rr, -1)
+        bc, bv = bc.reshape(Rr, -1), bv.reshape(Rr, -1)
+        if out_cap is not None and out_cap < bc.shape[1]:
+            bc, bv = ell_row_sum_duplicates(bc, bv, out_cap)
+        return bc, bv
 
     return shard_map(
         local, mesh=mesh,

@@ -52,9 +52,9 @@ def make_pot_amg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
         kg1, kg2, ks = jax.random.split(key, 3)
         from otamg.hybrid.solver import build_he_solver
 
-        he_solve, ncomp = build_he_solver(S, tvec, bk1, tk, p, q, opts,
-                                          solve_dtype, refine,
-                                          rhs.dtype, ks)
+        he_solve, ncomp, last = build_he_solver(S, tvec, bk1, tk, p, q,
+                                                opts, solve_dtype, refine,
+                                                rhs.dtype, ks)
         vv, it1, res1 = he_solve(v, kg1)
         ww, it2, res2 = he_solve(w, kg2)
 
@@ -63,8 +63,7 @@ def make_pot_amg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
         zeta2 = (z2 - sg * jnp.vdot(v, zeta1)) / phi_e
         zeta = jnp.concatenate([zeta1, zeta2[None]])
         return NewtonSolveResult(zeta, jnp.maximum(it1, it2),
-                                 jnp.maximum(res1, res2), ncomp,
-                                 jnp.int32(0))
+                                 jnp.maximum(res1, res2), ncomp, last)
 
     return solve
 

@@ -59,21 +59,33 @@ def _transform(S, tvec, bk1, tk, rhs, p, q):
 def _component_info(E, kdiag):
     """Component labels + per-component near-singularity flags
     (``Hybrid_AMG.m:33-40,60-66``: a component is near-singular iff the
-    ``K`` diagonal vanishes on it)."""
+    ``K`` diagonal vanishes on it).
+
+    Also returns ``last``: the 1-based ordinal (components enumerated in
+    increasing root-label order) of the last component with more than
+    ``N0 = 100`` nodes — the reference's ``it_num``/``info(2)``
+    (``Hybrid_AMG.m:51,80,113``; 0 when every component is small).
+    """
     N = kdiag.shape[0]
     labels = connected_components_bipartite(E)
     ksum = jax.ops.segment_sum(kdiag, labels, num_segments=N)
     nsp = ksum[labels] == 0
-    ncomp = jnp.sum(labels == jnp.arange(N, dtype=labels.dtype)
-                    ).astype(jnp.int32)
-    return labels, nsp, ncomp
+    roots = labels == jnp.arange(N, dtype=labels.dtype)
+    ncomp = jnp.sum(roots).astype(jnp.int32)
+    sizes = jax.ops.segment_sum(jnp.ones(N, jnp.int32), labels,
+                                num_segments=N)
+    ordinal = jnp.cumsum(roots.astype(jnp.int32))
+    large = jnp.logical_and(roots, sizes > 100)
+    last = jnp.max(jnp.where(large, ordinal, 0)).astype(jnp.int32)
+    return labels, nsp, ncomp, last
 
 
 def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
                            opts: AMGOptions,
                            twogrid: bool = False,
                            solve_dtype=None,
-                           refine: int = 10) -> NewtonSolver:
+                           refine: int = 10,
+                           dist_mesh=None) -> NewtonSolver:
     """Newton solver via the hybrid AMG path (``inner_solver=4``; with
     ``twogrid=True`` the two-level variant of ``Hybrid_twogrid.m`` /
     ``twogrid_bigph.m`` — one coarse level, Jacobi-PCG coarse correction
@@ -87,6 +99,11 @@ def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
     (``amg_options.retol``); fp32 cycles reach ~1e-7, and each refinement
     round squares down the residual, restoring f64-quality solutions at
     fp32 cost.
+
+    ``dist_mesh`` selects the explicit-collectives distributed assembly
+    (:func:`otamg.dist.assembly.transform_sharded`: shard_map psum /
+    all_gather over the mesh's row axis) for the hybrid transform, in
+    place of the implicit XLA SPMD partitioning.
     """
     if twogrid:
         import dataclasses
@@ -100,28 +117,41 @@ def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
 
     def solve(S, tvec, bk1, tk, rhs, key) -> NewtonSolveResult:
         k_setup, k_solve = jax.random.split(key)
-        he_solve, ncomp = build_he_solver(S, tvec, bk1, tk, p, q, opts,
-                                          solve_dtype, refine,
-                                          rhs.dtype, k_setup)
+        he_solve, ncomp, last = build_he_solver(S, tvec, bk1, tk, p, q,
+                                                opts, solve_dtype, refine,
+                                                rhs.dtype, k_setup,
+                                                dist_mesh=dist_mesh)
         zeta, iters, rel = he_solve(rhs, k_solve)
-        return NewtonSolveResult(zeta, iters, rel, ncomp, jnp.int32(0))
+        return NewtonSolveResult(zeta, iters, rel, ncomp, last)
 
     return solve
 
 
 def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
-                    solve_dtype, refine: int, hi, key):
-    """Build the hierarchy once and return ``(he_solve, ncomp)`` where
-    ``he_solve(rhs, key) -> (zeta, iters, rel)`` solves ``He zeta = rhs``.
+                    solve_dtype, refine: int, hi, key,
+                    dist_mesh=None):
+    """Build the hierarchy once and return ``(he_solve, ncomp, last)``
+    where ``he_solve(rhs, key) -> (zeta, iters, rel)`` solves
+    ``He zeta = rhs`` and ``(ncomp, last)`` mirror the reference's
+    ``info = [num_comp, it_num]`` (``Hybrid_AMG.m:113``).
 
     The returned closure can be called repeatedly against the same ``He``
     — the shared-setup improvement AMG4POT needs (SURVEY.md section 3.2:
     the reference rebuilds the hierarchy for each of its two solves).
     """
     lo = hi if solve_dtype is None else jnp.dtype(solve_dtype)
-    E, g, kdiag, _, q0 = _transform(S, tvec, bk1, tk,
-                                    jnp.zeros_like(tvec), p, q)
-    labels, nsp, ncomp = _component_info(E, kdiag)
+    if dist_mesh is None:
+        E, g, kdiag, _, q0 = _transform(S, tvec, bk1, tk,
+                                        jnp.zeros_like(tvec), p, q)
+    else:
+        # Explicit-collectives distributed assembly (``ASAt.m:14-19`` /
+        # ``Hybrid_AMG.m:16-24``): E row-block sharded, KKT diagonals
+        # replicated via psum + all_gather riding the ICI.
+        from otamg.dist.assembly import transform_sharded
+
+        E, g, kdiag = transform_sharded(dist_mesh, S, tvec, bk1, tk, p, q)
+        q0 = jnp.concatenate([q, -p])
+    labels, nsp, ncomp, last = _component_info(E, kdiag)
     if opts.bigph:
         # Non-Laplacian diagonal bk1*Q + K/tk == Ae @ (component
         # indicator), exactly — the analytic form of the kernel-projection
@@ -256,7 +286,7 @@ def build_he_solver(S, tvec, bk1, tk, p, q, opts: AMGOptions,
         u = wd + a
         return q0 * u, iters, rel
 
-    return he_solve, ncomp
+    return he_solve, ncomp, last
 
 
 def _a0diag_hi(S, p, q):
@@ -284,7 +314,7 @@ def make_aug_pcg_solver(p: jax.Array, q: jax.Array,
         del key
         E, g, kdiag, f, q0 = _transform(S, tvec, bk1, tk, rhs, p, q)
         N = g.shape[0]
-        labels, _, ncomp = _component_info(E, kdiag)
+        labels, _, ncomp, _last = _component_info(E, kdiag)
         roots = labels == jnp.arange(N, dtype=labels.dtype)
         qp2 = jnp.concatenate([q * q, p * p])
         qk = bk1 * qp2 + kdiag / tk  # diag of QK = bk1*Q + K/tk

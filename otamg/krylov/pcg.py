@@ -32,6 +32,9 @@ class PCGResult(NamedTuple):
     x: jax.Array
     iters: jax.Array      # int32 iterations taken
     res: jax.Array        # final relative residual sqrt(delta_new/delta_0)
+    resk: jax.Array | None = None  # per-iteration residual history
+    #   (reference ``PCG.m:74,85``); fixed-size ``resk_len`` device array,
+    #   entry i = relative residual after iteration i+1, 0 beyond `iters`.
 
 
 def pcg(matvec: Callable[[jax.Array], jax.Array],
@@ -39,12 +42,16 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
         precond: Callable[[jax.Array], jax.Array] | None = None,
         x0: jax.Array | None = None,
         retol: float = 1e-11,
-        maxit: int = 10_000) -> PCGResult:
+        maxit: int = 10_000,
+        resk_len: int = 0) -> PCGResult:
     """Solve ``H d = e`` for SPD ``H`` given as a matvec closure.
 
     Matches the reference loop ``PCG.m:69-88`` (including the
     ``delta_new > tol^2 * delta_0`` stopping rule measured in the
-    preconditioner norm).
+    preconditioner norm).  With ``resk_len > 0`` the per-iteration relative
+    residual history is carried in a fixed-size device array and returned
+    as ``PCGResult.resk`` (the reference's fourth output, ``PCG.m:74,85``)
+    — fixed capacity keeps the loop jittable under static shapes.
     """
     if precond is None:
         precond = lambda r: r
@@ -63,12 +70,14 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
     # Guard: delta0 == 0 means x0 is exact; loop below then never runs.
     safe_delta0 = jnp.where(delta0 == 0, 1.0, delta0)
 
+    resk0 = jnp.zeros(resk_len, e.dtype) if resk_len > 0 else None
+
     def cond(carry):
-        it, d, r, p, delta_new, done = carry
+        it, d, r, p, delta_new, done, resk = carry
         return jnp.logical_not(done)
 
     def body(carry):
-        it, d, r, p, delta_old, _ = carry
+        it, d, r, p, delta_old, _, resk = carry
         q = matvec(p)
         qp = jnp.vdot(q, p)
         # Breakdown guard: qp <= 0 (or NaN) means SPD has been lost to
@@ -91,16 +100,22 @@ def pcg(matvec: Callable[[jax.Array], jax.Array],
         done = jnp.logical_or(done,
                               jnp.logical_not(jnp.isfinite(delta_new)))
         sel = lambda a, b: jnp.where(keep, a, b)
+        if resk is not None:
+            # Record at the *pre-increment* index as ``resk(it) = ...``
+            # (``PCG.m:85``); rejected (breakdown) steps record nothing.
+            val = jnp.sqrt(jnp.abs(sel(delta_new, delta_old) / safe_delta0))
+            idx = jnp.minimum(it, resk_len - 1)
+            resk = jnp.where(keep, resk.at[idx].set(val), resk)
         return (it1, sel(d1, d), sel(r1, r), sel(p1, p),
-                sel(delta_new, delta_old), done)
+                sel(delta_new, delta_old), done, resk)
 
     init_done = jnp.logical_not(delta0 > (retol_eff ** 2) * delta0)
     init_done = jnp.logical_or(init_done, delta0 == 0)
-    it, d, r, p, delta_new, _ = lax.while_loop(
+    it, d, r, p, delta_new, _, resk = lax.while_loop(
         cond, body, (jnp.int32(0), x0, r0, p0, delta0,
-                     jnp.logical_or(init_done, maxit <= 0)))
+                     jnp.logical_or(init_done, maxit <= 0), resk0))
     res = jnp.sqrt(jnp.abs(delta_new / safe_delta0))
-    return PCGResult(d, it, res)
+    return PCGResult(d, it, res, resk)
 
 
 def _tri_solve_lower(L: jax.Array, b: jax.Array) -> jax.Array:
@@ -185,9 +200,12 @@ def make_preconditioner(H: jax.Array, which: Preconditioner,
 def pcg_matrix(H: jax.Array, e: jax.Array,
                opts: PCGOptions = PCGOptions(),
                x0: jax.Array | None = None,
-               nf: int | None = None) -> PCGResult:
-    """Reference-shaped entry ``[d, it, res] = PCG(H, e, pcg_options)`` for
-    an explicit dense matrix (``PCG.m:1``)."""
+               nf: int | None = None,
+               resk: bool = False) -> PCGResult:
+    """Reference-shaped entry ``[d, it, res, resk] = PCG(H, e,
+    pcg_options)`` for an explicit dense matrix (``PCG.m:1``); pass
+    ``resk=True`` for the per-iteration residual history (4th output)."""
     matvec = lambda v: H @ v
     precond = make_preconditioner(H, opts.precd, opts.omega, nf)
-    return pcg(matvec, e, precond, x0, opts.retol, opts.maxit)
+    return pcg(matvec, e, precond, x0, opts.retol, opts.maxit,
+               resk_len=opts.maxit if resk else 0)

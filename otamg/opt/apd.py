@@ -47,6 +47,8 @@ class _SsnCarry(NamedTuple):
     it_sum: jax.Array
     it_max: jax.Array
     fail: jax.Array       # # inner solves that hit maxit (FailAMG analogue)
+    ncomp: jax.Array      # info[0] of the last Newton solve (Hybrid_AMG.m:113)
+    last: jax.Array       # info[1]: last large-component ordinal
     key: jax.Array
 
 
@@ -61,6 +63,8 @@ class OuterMetrics(NamedTuple):
     it_sum: jax.Array
     fail: jax.Array
     restarted: jax.Array
+    ncomp: jax.Array
+    last: jax.Array
 
 
 @dataclasses.dataclass
@@ -80,6 +84,8 @@ class SolveResult:
     inner_total: int = 0   # total inner-solver iterations (SumAMG role)
     state: tuple | None = None  # (X, V, lam, bk, key) when requested —
     #                             exact warm-handoff / debugging state
+    info_ncomp: np.ndarray | None = None  # per-outer info[0] (num_comp)
+    info_last: np.ndarray | None = None   # per-outer info[1] (it_num)
 
 
 def _merit(lam, Zk, wlk, bk1, tk, gama, capacitated: bool, acc=None):
@@ -117,8 +123,20 @@ def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
     if opts.inner_solver == InnerSolver.AMG:
         from otamg.hybrid import make_hybrid_amg_solver
 
+        dist_mesh = None
+        if opts.explicit_dist:
+            from otamg.dist import make_mesh
+
+            # shard_map needs the row count to divide evenly over the
+            # mesh; use the largest device count that does.
+            m = p.shape[0]
+            ndev = len(jax.devices())
+            while m % ndev:
+                ndev -= 1
+            dist_mesh = make_mesh(ndev)
         return make_hybrid_amg_solver(p, q, opts.amg,
-                                      solve_dtype=opts.solve_dtype)
+                                      solve_dtype=opts.solve_dtype,
+                                      dist_mesh=dist_mesh)
     if opts.inner_solver == InnerSolver.TWOGRID:
         from otamg.hybrid import make_hybrid_amg_solver
 
@@ -166,7 +184,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
         big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
         init = _SsnCarry(jnp.int32(0), lam0, Z0, nF0, nF0,
                          nF0 <= ssn_tol, big, jnp.int32(0), jnp.int32(0),
-                         jnp.int32(0), key)
+                         jnp.int32(0), jnp.int32(0), jnp.int32(0), key)
 
         def cond(c: _SsnCarry):
             return jnp.logical_not(c.done)
@@ -231,7 +249,7 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
                 c.it_sum + sol.iters,
                 jnp.maximum(c.it_max, sol.iters),
                 c.fail + (sol.iters >= _solver_maxit).astype(jnp.int32),
-                key)
+                sol.ncomp, sol.last, key)
 
         # maxit of the inner solver, to count FailAMG-style budget hits
         # (``Class1/APD_SsN_Class1.m:163-166``).
@@ -278,7 +296,8 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
             kkt_x=kx, kkt_l=kl, fxk=fxk, ssn_it=ssn.it,
             it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
             it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
-            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart)
+            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart,
+            ncomp=ssn.ncomp, last=ssn.last)
         return X1, V1, lam1, bk1, key, metrics
 
     if fused:
@@ -338,6 +357,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     kkt_l = [kl0]
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
+    info_ncomp, info_last = [], []
     fail_total = 0
     inner_total = 0
     converged = False
@@ -359,6 +379,8 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         solver_itnum.append((int(mtr.it_min), int(mtr.it_avg),
                              int(mtr.it_max)))
         restarts.append(bool(mtr.restarted))
+        info_ncomp.append(int(mtr.ncomp))
+        info_last.append(int(mtr.last))
         fail_total += int(mtr.fail)
         inner_total += int(mtr.it_sum)
         rr = max(kkt_x[-1] / (1 + kx0), kkt_l[-1] / (1 + kl0))
@@ -384,7 +406,8 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
         wall_time=time.perf_counter() - t0, inner_total=inner_total,
-        state=(X, V, lam, bk, key) if return_state else None)
+        state=(X, V, lam, bk, key) if return_state else None,
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
 
 
 def solve_class1_chunked(prob: Class1Problem,
@@ -392,13 +415,19 @@ def solve_class1_chunked(prob: Class1Problem,
                          solver: NewtonSolver | None = None,
                          warm: tuple | None = None,
                          chunk: int = 8,
-                         verbose: bool = False) -> SolveResult:
+                         verbose: bool = False,
+                         checkpoint_dir: str | None = None,
+                         resume: bool = False) -> SolveResult:
     """Chunked on-device driver: runs up to ``chunk`` APD outer iterations
     per jitted program with an on-device convergence early-exit, so the
     host<->device round trip (expensive over the TPU relay) is paid once
     per chunk instead of once per iteration.  Identical trajectory to
     :func:`solve_class1` — same ``outer_step`` body, same restart/record
-    semantics — just batched dispatch."""
+    semantics — just batched dispatch.
+
+    ``checkpoint_dir`` saves the full APD state (including the restart
+    residual ``resk``) at every chunk boundary; ``resume=True`` restores
+    the latest one and continues with an exactly-identical trajectory."""
     t0 = time.perf_counter()
     p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
     b = prob.b
@@ -439,6 +468,8 @@ def solve_class1_chunked(prob: Class1Problem,
             "isum": jnp.zeros(chunk, jnp.int32),
             "fail": jnp.zeros(chunk, jnp.int32),
             "restart": jnp.zeros(chunk, bool),
+            "ncomp": jnp.zeros(chunk, jnp.int32),
+            "last": jnp.zeros(chunk, jnp.int32),
         }
 
         def cond(c):
@@ -464,6 +495,8 @@ def solve_class1_chunked(prob: Class1Problem,
                 "isum": recs["isum"].at[i].set(mtr.it_sum),
                 "fail": recs["fail"].at[i].set(mtr.fail),
                 "restart": recs["restart"].at[i].set(mtr.restarted),
+                "ncomp": recs["ncomp"].at[i].set(mtr.ncomp),
+                "last": recs["last"].at[i].set(mtr.last),
             }
             return i + 1, k + 1, X1, V1, lam1, bk1, key, resk1, conv, recs
 
@@ -476,14 +509,24 @@ def solve_class1_chunked(prob: Class1Problem,
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
     resk = jnp.asarray(max(kx0, kl0), dtype)
+    k = 1
+    if resume and checkpoint_dir is not None:
+        from otamg.diag import checkpoint as ckpt
+
+        if ckpt.latest_step(checkpoint_dir) is not None:
+            d = ckpt.load_dict(checkpoint_dir)
+            X, V, lam = d["X"], d["V"], d["lam"].astype(hi)
+            bk, key = d["bk"], d["key"]
+            resk = d["resk"].astype(dtype)
+            k = d["k"] + 1
     kkt_x = [kx0]
     kkt_l = [kl0]
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
+    info_ncomp, info_last = [], []
     fail_total = 0
     inner_total = 0
     converged = False
-    k = 1
     while k <= maxit and not converged:
         i, k_dev, X, V, lam, bk, key, resk, conv, recs = run_chunk(
             jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk)
@@ -498,6 +541,8 @@ def solve_class1_chunked(prob: Class1Problem,
             zip(recs["imin"][:done].tolist(), recs["iavg"][:done].tolist(),
                 recs["imax"][:done].tolist()))
         restarts.extend(recs["restart"][:done].tolist())
+        info_ncomp.extend(recs["ncomp"][:done].tolist())
+        info_last.extend(recs["last"][:done].tolist())
         fail_total += int(recs["fail"][:done].sum())
         inner_total += int(recs["isum"][:done].sum())
         if verbose:
@@ -507,6 +552,12 @@ def solve_class1_chunked(prob: Class1Problem,
                       f"fk={recs['fxk'][j]:.6e} ssn={recs['ssn'][j]}"
                       + (" RESTART" if recs["restart"][j] else ""))
         k += done
+        if checkpoint_dir is not None and done > 0:
+            from otamg.diag import checkpoint as ckpt
+
+            ckpt.save_dict(checkpoint_dir, k - 1,
+                           dict(X=X, V=V, lam=lam, bk=bk, key=key,
+                                resk=resk))
 
     return SolveResult(
         X=X, lam=lam, converged=converged, iters=k - 1,
@@ -514,7 +565,8 @@ def solve_class1_chunked(prob: Class1Problem,
         fxk=np.asarray(fxk), ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0, inner_total=inner_total)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total,
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
 
 
 def solve_class1_fused(prob: Class1Problem,

@@ -50,6 +50,8 @@ class _Ssn2Carry(NamedTuple):
     it_sum: jax.Array
     it_max: jax.Array
     fail: jax.Array
+    ncomp: jax.Array      # info[0] of the last Newton solve (Hybrid_AMG.m:113)
+    last: jax.Array       # info[1]: last large-component ordinal
     key: jax.Array
 
 
@@ -66,6 +68,8 @@ class Outer2Metrics(NamedTuple):
     it_sum: jax.Array
     fail: jax.Array
     restarted: jax.Array
+    ncomp: jax.Array
+    last: jax.Array
 
 
 @dataclasses.dataclass
@@ -84,6 +88,8 @@ class Solve2Result:
     fail_count: int
     wall_time: float
     inner_total: int = 0   # total inner-solver iterations (SumAMG role)
+    info_ncomp: np.ndarray | None = None  # per-outer info[0] (num_comp)
+    info_last: np.ndarray | None = None   # per-outer info[1] (it_num)
 
 
 def make_pot_solver_from_options(p, q, Phi, opts: APDOptions) -> NewtonSolver:
@@ -189,7 +195,7 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
         init = _Ssn2Carry(jnp.int32(0), lam0, ZX0, zs0, nF0, nF0,
                           nF0 <= ssn_tol, big, jnp.int32(0), jnp.int32(0),
-                          jnp.int32(0), key)
+                          jnp.int32(0), jnp.int32(0), jnp.int32(0), key)
 
         def cond(c):
             return jnp.logical_not(c.done)
@@ -255,7 +261,7 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
                 jnp.minimum(c.it_min, sol.iters), c.it_sum + sol.iters,
                 jnp.maximum(c.it_max, sol.iters),
                 c.fail + (sol.iters >= solver_maxit).astype(jnp.int32),
-                key)
+                sol.ncomp, sol.last, key)
 
         return lax.while_loop(cond, body, init)
 
@@ -301,7 +307,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
             ssn_it=ssn.it,
             it_min=jnp.where(ssn.it > 0, ssn.it_min, -1), it_avg=avg,
             it_max=jnp.where(ssn.it > 0, ssn.it_max, -1),
-            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart)
+            it_sum=ssn.it_sum, fail=ssn.fail, restarted=restart,
+            ncomp=ssn.ncomp, last=ssn.last)
         return X1, us1, VX1, vs1, lam1, bk1, key, metrics
 
     if fused:
@@ -353,6 +360,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     kkt_hist = [kkt0]
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
+    info_ncomp, info_last = [], []
     fail_total = 0
     inner_total = 0
     converged = False
@@ -372,6 +380,8 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         solver_itnum.append((int(mtr.it_min), int(mtr.it_avg),
                              int(mtr.it_max)))
         restarts.append(bool(mtr.restarted))
+        info_ncomp.append(int(mtr.ncomp))
+        info_last.append(int(mtr.last))
         fail_total += int(mtr.fail)
         inner_total += int(mtr.it_sum)
         rr = (kk / (1 + kkt0)).max()
@@ -397,18 +407,22 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0, inner_total=inner_total)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total,
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
 
 
 def solve_class2_chunked(prob: Class2Problem,
                          opts: APDOptions | None = None,
                          solver: NewtonSolver | None = None,
                          chunk: int = 8,
-                         verbose: bool = False) -> Solve2Result:
+                         verbose: bool = False,
+                         checkpoint_dir: str | None = None,
+                         resume: bool = False) -> Solve2Result:
     """Chunked on-device Class-2 driver: up to ``chunk`` APD iterations per
     jitted program with on-device early exit (see
     :func:`otamg.opt.apd.solve_class1_chunked`).  Trajectory-identical to
-    :func:`solve_class2`."""
+    :func:`solve_class2`.  ``checkpoint_dir``/``resume`` save/restore the
+    full state at chunk boundaries (exact-resume, including ``resk``)."""
     if opts is None:
         opts = default_class2_options()
     t0 = time.perf_counter()
@@ -446,6 +460,8 @@ def solve_class2_chunked(prob: Class2Problem,
             "isum": jnp.zeros(chunk, jnp.int32),
             "fail": jnp.zeros(chunk, jnp.int32),
             "restart": jnp.zeros(chunk, bool),
+            "ncomp": jnp.zeros(chunk, jnp.int32),
+            "last": jnp.zeros(chunk, jnp.int32),
         }
 
         def cond(c):
@@ -469,6 +485,8 @@ def solve_class2_chunked(prob: Class2Problem,
                 "isum": recs["isum"].at[i].set(mtr.it_sum),
                 "fail": recs["fail"].at[i].set(mtr.fail),
                 "restart": recs["restart"].at[i].set(mtr.restarted),
+                "ncomp": recs["ncomp"].at[i].set(mtr.ncomp),
+                "last": recs["last"].at[i].set(mtr.last),
             }
             return (i + 1, k + 1, X1, us1, VX1, vs1, lam1, bk1, key,
                     jnp.max(kk), conv, recs)
@@ -482,13 +500,23 @@ def solve_class2_chunked(prob: Class2Problem,
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
     resk = jnp.asarray(kkt0.max(), dtype)
+    k = 1
+    if resume and checkpoint_dir is not None:
+        from otamg.diag import checkpoint as ckpt
+
+        if ckpt.latest_step(checkpoint_dir) is not None:
+            d = ckpt.load_dict(checkpoint_dir)
+            X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
+            lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
+            resk = d["resk"].astype(dtype)
+            k = d["k"] + 1
     kkt_hist = [kkt0]
     fxk = [float(jnp.vdot(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
+    info_ncomp, info_last = [], []
     fail_total = 0
     inner_total = 0
     converged = False
-    k = 1
     while k <= maxit and not converged:
         (i, X, us, VX, vs, lam, bk, key, resk, conv, recs) = run_chunk(
             jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, resk)
@@ -502,6 +530,8 @@ def solve_class2_chunked(prob: Class2Problem,
             zip(recs["imin"][:done].tolist(), recs["iavg"][:done].tolist(),
                 recs["imax"][:done].tolist()))
         restarts.extend(recs["restart"][:done].tolist())
+        info_ncomp.extend(recs["ncomp"][:done].tolist())
+        info_last.extend(recs["last"][:done].tolist())
         fail_total += int(recs["fail"][:done].sum())
         inner_total += int(recs["isum"][:done].sum())
         if verbose:
@@ -512,6 +542,12 @@ def solve_class2_chunked(prob: Class2Problem,
                       f"ssn={recs['ssn'][j]}"
                       + (" RESTART" if recs["restart"][j] else ""))
         k += done
+        if checkpoint_dir is not None and done > 0:
+            from otamg.diag import checkpoint as ckpt
+
+            ckpt.save_dict(checkpoint_dir, k - 1,
+                           dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
+                                bk=bk, key=key, resk=resk))
 
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
@@ -519,7 +555,8 @@ def solve_class2_chunked(prob: Class2Problem,
         ssn_itnum=np.asarray(ssn_itnum),
         solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
         restarts=np.asarray(restarts), fail_count=fail_total,
-        wall_time=time.perf_counter() - t0, inner_total=inner_total)
+        wall_time=time.perf_counter() - t0, inner_total=inner_total,
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
 
 
 def solve_class2_fused(prob: Class2Problem,

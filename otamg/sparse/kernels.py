@@ -26,8 +26,15 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def ell_spmv_xla(ell_cols, ell_vals, x):
-    """Reference ELL SpMV: ``y_i = sum_r vals[i,r] * x[cols[i,r]]``."""
-    return jnp.sum(ell_vals * x[ell_cols], axis=1)
+    """Reference ELL SpMV: ``y_i = sum_r vals[i,r] * x[cols[i,r]]``.
+
+    Out-of-range padding columns gather 0 (``mode='fill'``) — the same
+    semantics as the Pallas kernel's validity masking, so the two paths
+    agree even for callers whose padding violates the col-0/val-0
+    invariant."""
+    return jnp.sum(ell_vals * jnp.take(x, ell_cols, axis=0, mode="fill",
+                                       fill_value=0),
+                   axis=1)
 
 
 def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
@@ -46,7 +53,6 @@ def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
     cols = cols_ref[...]
     vals = vals_ref[...]
     b = cols.shape[0]
-    x = x_ref[...]
 
     @pl.when(t == 0)
     def _init():
@@ -57,14 +63,21 @@ def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
     # past Python's stack limit during lowering.  Operands here are
     # f32/i32 regardless, so this only pins the internal index dtype.
     with jax.enable_x64(False):
-        g = jnp.zeros((b, 128), vals.dtype)
-        for c in range(n_chunks):
-            chunk = jnp.broadcast_to(x[c:c + 1, :], (b, 128))
+        # fori_loop (not a traced Python loop) keeps the kernel IR O(1) in
+        # the source-vector length — important with minutes-long remote
+        # Mosaic compiles; the chunk row is loaded from the resident VMEM
+        # block with a dynamic sublane index.
+        def chunk_step(c, g):
+            row = x_ref[pl.ds(c, 1), :]
+            chunk = jnp.broadcast_to(row, (b, 128))
             local = cols - c * 128
             valid = (local >= 0) & (local < 128)
             safe = jnp.where(valid, local, 0)
-            g = jnp.where(valid,
-                          jnp.take_along_axis(chunk, safe, axis=1), g)
+            return jnp.where(
+                valid, jnp.take_along_axis(chunk, safe, axis=1), g)
+
+        g = jax.lax.fori_loop(0, n_chunks, chunk_step,
+                              jnp.zeros((b, 128), vals.dtype))
         out_ref[...] += jnp.sum(vals * g, axis=1, keepdims=True)
 
 

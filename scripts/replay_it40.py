@@ -42,7 +42,7 @@ ct = os.environ.get("OTAMG_COARSE_TARGET")
 if ct:
     opts_kw["coarse_target"] = None if ct == "none" else int(ct)
 amg_opts = AMGOptions(**opts_kw)
-he, ncomp = build_he_solver(S, jnp.zeros_like(rhs), jnp.asarray(bk1, dtype),
+he, ncomp, _last = build_he_solver(S, jnp.zeros_like(rhs), jnp.asarray(bk1, dtype),
                             jnp.asarray(tk, dtype), p.astype(dtype),
                             q.astype(dtype), amg_opts, "float32", 10,
                             jnp.float64, jax.random.PRNGKey(7))

@@ -62,7 +62,7 @@ def main():
 
     if step == "components":
         E, g, kdiag, f, q0 = _transform(S, tvec, bk1, tk, rhs, p, q)
-        labels, nsp, ncomp = jax.jit(_component_info)(E, kdiag)
+        labels, nsp, ncomp, _last = jax.jit(_component_info)(E, kdiag)
         jax.block_until_ready(labels)
         print(f"[bisect:{step}] OK ncomp={int(ncomp)} "
               f"t={time.time() - t0:.1f}s", flush=True)
@@ -90,7 +90,7 @@ def main():
         from otamg.amg.hierarchy import amg_solve, setup_hierarchy
 
         E, g, kdiag, f, q0 = _transform(S, tvec, bk1, tk, rhs, p, q)
-        labels, nsp, ncomp = _component_info(E, kdiag)
+        labels, nsp, ncomp, _last = _component_info(E, kdiag)
         opts = AMGOptions(maxit=(1 if step == "cycle1" else 30))
 
         if step == "setup":
@@ -127,7 +127,7 @@ def main():
         @jax.jit
         def run(S, tvec, bk1, tk, rhs, key):
             k1, k2 = jax.random.split(key)
-            he_solve, ncomp = build_he_solver(
+            he_solve, ncomp, _last = build_he_solver(
                 S, tvec, bk1, tk, p, q, opts, "float32", 10,
                 rhs.dtype, k1)
             return he_solve(rhs, k2)

@@ -329,7 +329,7 @@ def test_extreme_bk1_newton_system_refines():
            - b_hi)
     Fk = (bk1 * lam - op.apply_A(op.prox_box(Zk, gama), p, q,
                                  jnp.float64) - wlk)
-    he, ncomp = build_he_solver(
+    he, ncomp, _last = build_he_solver(
         S, jnp.zeros(1000, dtype), jnp.asarray(bk1, dtype),
         jnp.asarray(tk, dtype), p.astype(dtype), q.astype(dtype),
         AMGOptions(), "float32", 10, jnp.float64, jax.random.PRNGKey(7))

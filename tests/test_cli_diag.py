@@ -84,6 +84,64 @@ def test_solver_report_and_plot(tmp_path):
         assert os.path.exists(p)
 
 
+def test_solver_report_component_info():
+    """The reference's ``info = [num_comp, it_num]`` (``Hybrid_AMG.m:113``)
+    surfaces through the AMG path: num_comp >= 1 always, and on a
+    >100-node connected active set the last-large-component ordinal is
+    nonzero (the 100-node crossover, ``Hybrid_AMG.m:51``)."""
+    from otamg.diag import solver_report
+
+    prob = random_class1(jax.random.PRNGKey(7), 60, 60)
+    res = solve_class1(prob, APDOptions(inner_solver=InnerSolver.AMG,
+                                        maxit=3, kkt_tol=1e-30))
+    rep = solver_report(res)
+    assert rep["ncomp"] >= 1
+    assert rep["last_large"] >= 1  # 120-node KKT graph: one big component
+    assert res.info_ncomp.shape == (3,)
+    assert (res.info_last <= res.info_ncomp).all()
+
+
+def test_chunked_checkpoint_resume(tmp_path):
+    """The chunked driver checkpoints at chunk boundaries and resumes with
+    an exactly-identical trajectory (round-2 verdict item 10)."""
+    from otamg.opt import solve_class1_chunked
+
+    prob = random_class1(jax.random.PRNGKey(9), 16, 12)
+    opts = APDOptions(inner_solver=InnerSolver.PCG, maxit=20,
+                      kkt_tol=1e-30)
+    full = solve_class1_chunked(prob, opts, chunk=4)
+    ck = str(tmp_path / "ckc")
+    solve_class1_chunked(prob, APDOptions(inner_solver=InnerSolver.PCG,
+                                          maxit=12, kkt_tol=1e-30),
+                         chunk=4, checkpoint_dir=ck)
+    resumed = solve_class1_chunked(prob, opts, chunk=4,
+                                   checkpoint_dir=ck, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X),
+                               rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(resumed.lam),
+                               np.asarray(full.lam), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_chunked_checkpoint_resume_class2(tmp_path):
+    from otamg.opt.apd2 import solve_class2_chunked
+    from otamg.ot import random_class2
+
+    prob = random_class2(jax.random.PRNGKey(10), 12, 10, mu_frac=0.5)
+    opts = APDOptions(ssn_tol1=1e-10, maxit=16, kkt_tol=1e-30,
+                      inner_solver=InnerSolver.AUG_PCG)
+    full = solve_class2_chunked(prob, opts, chunk=4)
+    ck = str(tmp_path / "ckc2")
+    solve_class2_chunked(prob, APDOptions(ssn_tol1=1e-10, maxit=8,
+                                          kkt_tol=1e-30,
+                                          inner_solver=InnerSolver.AUG_PCG),
+                         chunk=4, checkpoint_dir=ck)
+    resumed = solve_class2_chunked(prob, opts, chunk=4,
+                                   checkpoint_dir=ck, resume=True)
+    np.testing.assert_allclose(np.asarray(resumed.X), np.asarray(full.X),
+                               rtol=1e-10, atol=1e-12)
+
+
 def test_checkpoint_resume_class2(tmp_path):
     from otamg.opt.apd2 import solve_class2
     from otamg.ot import random_class2

@@ -37,6 +37,27 @@ def test_sharded_operators_match(mesh):
                                rtol=1e-12)
 
 
+def test_explicit_dist_solve_matches_implicit(mesh):
+    """The flag-selected explicit-collectives assembly path
+    (``APDOptions.explicit_dist`` -> ``transform_sharded`` inside
+    ``build_he_solver``) must reproduce the implicit-partitioner solve
+    exactly (same seeds, same trajectory)."""
+    prob = random_class1(jax.random.PRNGKey(43), 32, 24)
+    base = APDOptions(inner_solver=InnerSolver.AMG, maxit=40)
+    res_imp = solve_class1(shard_class1(prob, mesh), base)
+    res_exp = solve_class1(
+        shard_class1(prob, mesh),
+        APDOptions(inner_solver=InnerSolver.AMG, maxit=40,
+                   explicit_dist=True))
+    assert res_exp.converged == res_imp.converged
+    assert res_exp.iters == res_imp.iters
+    np.testing.assert_allclose(res_exp.kkt_l, res_imp.kkt_l, rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(np.asarray(res_exp.X),
+                               np.asarray(res_imp.X), rtol=1e-8,
+                               atol=1e-12)
+
+
 @pytest.mark.parametrize("inner", [InnerSolver.PCG, InnerSolver.AMG])
 def test_solve_1chip_vs_8chip(mesh, inner):
     """The full APD solve must produce the same trajectory on a sharded
@@ -166,3 +187,35 @@ def test_spgemm_rowsharded_matches_dense(mesh):
     np.add.at(dense, (rows.ravel(), np.asarray(cc).ravel()),
               np.asarray(cv).ravel())
     np.testing.assert_allclose(dense, A @ B, rtol=1e-11, atol=1e-11)
+
+
+def test_spgemm_rowsharded_compaction_chain(mesh):
+    """With ``out_cap``, duplicate columns are merged locally so a chained
+    (Galerkin-style) product keeps bounded capacity: the 2-chain product
+    A @ A @ A stays within 2x the true max row nnz instead of growing as
+    rcA * rcB per hop (round-2 verdict item 8)."""
+    from otamg.dist import spgemm_rowsharded
+    from otamg.sparse import CSR
+
+    rng = np.random.default_rng(11)
+    N = 64
+    A = rng.standard_normal((N, N)) * (rng.uniform(size=(N, N)) < 0.08)
+    ca = CSR.from_dense(jnp.asarray(A), row_cap=16)
+
+    A2 = A @ A
+    A3 = A2 @ A
+    true_cap = int(np.max((A3 != 0).sum(axis=1)))
+    out_cap = max(2 * true_cap, 2 * int(np.max((A2 != 0).sum(axis=1))))
+
+    cc, cv = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
+                               ca.ell_cols, ca.ell_vals, out_cap=out_cap)
+    assert cc.shape[1] <= out_cap < 16 * 16
+    cc2, cv2 = spgemm_rowsharded(mesh, cc, cv, ca.ell_cols, ca.ell_vals,
+                                 out_cap=out_cap)
+    assert cc2.shape[1] <= out_cap
+
+    dense = np.zeros((N, N))
+    rows = np.broadcast_to(np.arange(N)[:, None], cc2.shape)
+    np.add.at(dense, (rows.ravel(), np.asarray(cc2).ravel()),
+              np.asarray(cv2).ravel())
+    np.testing.assert_allclose(dense, A3, rtol=1e-11, atol=1e-11)

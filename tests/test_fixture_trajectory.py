@@ -41,10 +41,17 @@ def test_class1_fixture_it58(class1_fixture_path, solve_dtype):
     assert not res.restarts.any()
 
 
-def test_class2_fixture_it53(class2_fixture_path):
+@pytest.mark.parametrize("solve_dtype", [None, "float32"])
+def test_class2_fixture_it53(class2_fixture_path, solve_dtype):
+    """Class-2 contract in BOTH precisions: the fp32 mixed-precision
+    architecture (f64 APD state, fp32 MXU hierarchy with deflated
+    refinement) must reproduce the f64 trajectory exactly — the Class-2
+    analogue of the Class-1 fp32 pin, so a TPU-path divergence (as in the
+    round-2 Class-1 bug) cannot ship silently."""
     _skip_unless(class2_fixture_path)
     prob = load_class2_mat(class2_fixture_path)
-    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10)
+    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
+                      solve_dtype=solve_dtype)
     res = solve_class2(prob, opts)
     assert res.converged
     assert res.iters == 53, f"trajectory drift: it={res.iters} != 53"

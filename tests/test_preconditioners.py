@@ -153,3 +153,23 @@ def test_newton_pcg_rejects_dense_only_menu():
     q = jnp.ones(4)
     with pytest.raises(ValueError):
         make_pcg_solver(p, q, PCGOptions(precd=Preconditioner.SSOR))
+
+
+def test_pcg_resk_history():
+    """The per-iteration residual history (reference 4th output,
+    ``PCG.m:74,85``): monotone bookkeeping — resk[it-1] equals the final
+    relative residual, entries beyond `iters` stay zero, and the recorded
+    history is consistent with convergence to the tolerance."""
+    H = bipartite_spd(10, 8, seed=3)
+    e = jnp.asarray(np.random.default_rng(4).standard_normal(18))
+    r = pcg_matrix(H, e, PCGOptions(retol=1e-10, maxit=200), resk=True)
+    it = int(r.iters)
+    resk = np.asarray(r.resk)
+    assert r.resk.shape == (200,)
+    assert 0 < it < 200
+    np.testing.assert_allclose(resk[it - 1], float(r.res), rtol=1e-12)
+    assert np.all(resk[it:] == 0)
+    assert resk[it - 1] <= 1e-10
+    # without the flag the history is absent (no extra carry in the loop)
+    r2 = pcg_matrix(H, e, PCGOptions(retol=1e-10, maxit=200))
+    assert r2.resk is None

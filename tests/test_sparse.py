@@ -121,6 +121,42 @@ def test_pallas_ell_spmv_interpret():
                                rtol=1e-4, atol=1e-4)
 
 
+def test_pallas_ell_spmv_multitile_interpret():
+    """Exercise the Pallas kernel's multi-tile logic (interpret mode):
+    cap > 128 makes nt > 1 (the pl.when t==0 init + cross-tile output
+    accumulation), n > 128 makes nc > 1 (the fori_loop masked-gather sweep
+    over 128-lane source chunks), with non-multiple-of-128 padding on both
+    axes — none of which the small cases above reach (round-2 advisor
+    finding)."""
+    rng = np.random.default_rng(42)
+    n = 300
+    A = rand_sparse(rng, 200, n, 0.45)       # max row nnz < 150 w.h.p.
+    csr = CSR.from_dense(jnp.asarray(A, dtype=jnp.float32), row_cap=150)
+    # rows may truncate at row_cap; compare against the ELL view itself
+    x = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    got = ell_spmv(csr.ell_cols, csr.ell_vals, x, block_rows=64,
+                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(csr.matvec(x)),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_ell_spmv_out_of_range_padding_agreement():
+    """Both SpMV paths must zero-fill out-of-range padding columns, so a
+    caller that violates the col-0/val-0 invariant gets identical results
+    from the XLA and Pallas paths."""
+    from otamg.sparse.kernels import ell_spmv_xla
+
+    cols = jnp.asarray([[0, 5, 999], [2, 998, 997]], jnp.int32)
+    vals = jnp.asarray([[1.0, 2.0, 3.0], [4.0, 5.0, 6.0]], jnp.float32)
+    x = jnp.arange(6, dtype=jnp.float32)
+    ref = jnp.asarray([2.0 * 5.0, 4.0 * 2.0])   # OOB slots contribute 0
+    np.testing.assert_allclose(np.asarray(ell_spmv_xla(cols, vals, x)),
+                               np.asarray(ref), rtol=1e-6)
+    got = ell_spmv(cols, vals, jnp.pad(x, (0, 194)),  # n=200 > cap=3
+                   block_rows=2, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=1e-6)
+
+
 def test_asat_coo_vs_dense():
     from otamg.sparse import asat_coo
     rng = np.random.default_rng(7)
