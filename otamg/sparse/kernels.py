@@ -124,13 +124,3 @@ def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
         interpret=interpret,
     )(ell_cols, ell_vals, x2)
     return out[:nr, 0]
-
-
-def bipartite_gs_sweep_xla(E, g, inv_tk, r1, r2):
-    """One fused block Gauss-Seidel sweep on the bipartite fine level —
-    the hottest smoothing op.  XLA fuses the diagonal scalings into the
-    two GEMVs; kept here as the tuning point for a future fully-fused
-    Pallas variant that streams ``E`` once instead of twice."""
-    e1 = r1 / g[: r1.shape[0]]
-    e2 = (r2 + inv_tk * (E @ e1)) / g[r1.shape[0]:]
-    return e1, e2
