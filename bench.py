@@ -81,7 +81,7 @@ def _bench_once(cls: str, inner: str):
     dtype = jnp.float64
     solve_dtype = None if platform == "cpu" else "float32"
 
-    from otamg.config import APDOptions, InnerSolver
+    from otamg.config import AMGOptions, APDOptions, InnerSolver
 
     # Driver: the loop driver pays one relay round trip per APD iteration
     # (~0.34 s each over the axon tunnel) but its many small cached
@@ -105,8 +105,12 @@ def _bench_once(cls: str, inner: str):
         solve = (solve_class2 if driver == "loop"
                  else lambda p, o: solve_class2_chunked(p, o, chunk=8))
         path = "/root/reference/Class2/InputData/data4-500.mat"
+        # Class-2 AMG budget maxit=40/smoth=10 (Class2/APD_SsN_Class2.m:
+        # 80-81) — omitting it ran the weaker Class-1 budget, which the
+        # fp32 TPU path cannot absorb (round-3 bench: converged=false).
         opts = APDOptions(inner_solver=InnerSolver[inner],
-                          ssn_tol1=1e-10, solve_dtype=solve_dtype)
+                          ssn_tol1=1e-10, solve_dtype=solve_dtype,
+                          amg=AMGOptions(maxit=40, smoth=10))
 
     try:
         prob = load(path, dtype=dtype)

@@ -285,6 +285,17 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     norm_mask = jnp.logical_and(nsp[:n], jnp.abs(rowsum) > 0.01)
     W = jnp.where(norm_mask[:, None],
                   W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
+    # Kernel-projection validity (see _interp_defect): the analytic
+    # Axi/xx propagation to the dense levels assumes P maps coarse
+    # component indicators to fine ones, i.e. every nsp q-row whose
+    # component persists on the p-side sums to 1 after normalization.
+    pcount = jax.ops.segment_sum(jnp.ones(m, jnp.int32), labels[n:],
+                                 num_segments=nseg)
+    persists = pcount[labels[:n]] > 0
+    relevant = jnp.logical_and(nsp[:n], persists)
+    rowsum1 = jnp.sum(W, axis=1)
+    defect1 = jnp.max(jnp.where(relevant, jnp.abs(rowsum1 - 1.0), 0.0))
+    ok = defect1 < 0.1
 
     lv1_partial = BipartiteLevel(E, g, jnp.asarray(inv_tk, dtype), W,
                                  labels, nsp,
@@ -314,13 +325,13 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     caps = capacity_schedule(m, N, opts)
     dense_levels = _build_dense_chain(A2, active2, labels2, nsp2, caps,
                                       opts, key, nseg,
-                                      axi0=axi2, xxseg=xxseg)
+                                      axi0=axi2, xxseg=xxseg, ok0=ok)
     return lv1, dense_levels
 
 
 def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
                        key: jax.Array, nseg: int,
-                       axi0=None, xxseg=None) -> tuple:
+                       axi0=None, xxseg=None, ok0=True) -> tuple:
     """Build the chain of padded dense levels (MIS coarsening) starting
     from ``A0`` at capacity ``caps[0]``, ending with the eigendecomposed
     coarsest level.
@@ -330,10 +341,24 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
     normalized nsp rows, the only ones the projection uses) and ``xx``
     is level-invariant per component — instead of re-evaluated by matvec,
     which cancels catastrophically once ``bk1`` is below the solve-dtype
-    roundoff of the level diagonal (see :func:`setup_hierarchy`)."""
+    roundoff of the level diagonal (see :func:`setup_hierarchy`).
+
+    ``ok0`` and the per-level interpolation defects gate the projection:
+    when a prolongation fails ``P 1_c = 1_f`` on a persisting
+    near-singular component (e.g. the MIS bail-out picked a handful of
+    random C points on a weakly-connected level and most F rows have no
+    strong C neighbor to normalize through), the coarse indicator is NOT
+    a near-kernel vector of the Galerkin operator — the analytic Axi/xx
+    are then wrong and the additive projection term in
+    :func:`_projected_smooth` AMPLIFIES the error (observed: x4600 per
+    sweep, NaN within one W-cycle at 2048^2).  The mask cascades: once a
+    level's interpolation breaks the invariant, that level and everything
+    below run plain (unprojected) smoothing, which is always contractive.
+    """
     dtype = A0.dtype
     dense_levels = []
     A_cur, act_cur, lab_cur, nsp_cur = A0, act0, lab0, nsp0
+    ok_cur = jnp.asarray(ok0, bool)
     axi_cur = axi0
     P_cur = jnp.zeros((0, 0), dtype)  # unused for the chain head
     no_vec = jnp.zeros((0, 0), dtype)
@@ -377,6 +402,8 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
         lvd_partial = DenseLevel(A_cur, act_cur, P_cur, lab_cur, nsp_cur,
                                  jnp.zeros(cap, dtype), jnp.ones(cap, dtype),
                                  evecs, einv)
+        nsp_eff = jnp.logical_and(nsp_cur, ok_cur)
+        lvd_partial = lvd_partial._replace(nsp=nsp_eff)
         if axi_cur is None:
             xi = act_cur.astype(dtype)
             Axi = dense_matvec(lvd_partial, xi)
@@ -389,8 +416,9 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
             break
         cap_next = caps[li + 1]
         key, sub = jax.random.split(key)
-        (A_cur, act_cur, lab_cur, nsp_cur, P_cur) = _coarsen_dense(
-            A_cur, act_cur, lab_cur, nsp_cur, cap_next, opts, sub)
+        (A_cur, act_cur, lab_cur, nsp_cur, P_cur, defect) = _coarsen_dense(
+            A_cur, act_cur, lab_cur, nsp_cur, cap_next, opts, sub, nseg)
+        ok_cur = jnp.logical_and(ok_cur, defect < 0.1)
         if axi_cur is not None:
             axi_cur = _mm(P_cur.T, axi_cur)
 
@@ -442,9 +470,15 @@ def setup_hierarchy_generic(A, opts: AMGOptions,
 
 
 def _coarsen_dense(A, active, labels, nsp, cap_next: int,
-                   opts: AMGOptions, key: jax.Array):
+                   opts: AMGOptions, key: jax.Array, nseg: int):
     """One MIS + standard-interpolation + Galerkin coarsening step
-    (``transfer.m:41-66``) on a padded dense level."""
+    (``transfer.m:41-66``) on a padded dense level.
+
+    Also returns the interpolation DEFECT: the worst deviation of a
+    near-singular F row's weight sum from 1, over rows whose component
+    keeps at least one C node (the ``P 1_c = 1_f`` invariant the
+    kernel-projection machinery relies on — see
+    :func:`_build_dense_chain`)."""
     c = A.shape[0]
     dtype = A.dtype
     Sval = strength_dense(A, active)
@@ -498,7 +532,20 @@ def _coarsen_dense(A, active, labels, nsp, cap_next: int,
     Ac = _mm(P.T, _mm(A, P))
     Ac = 0.5 * (Ac + Ac.T)
     Ac = Ac + jnp.diag(jnp.logical_not(active_next).astype(dtype))
-    return Ac, active_next, labels_next, nsp_next, P
+    # Interpolation defect, measured on the truncated P so capacity
+    # demotion counts too: every active near-singular node that must
+    # interpolate from the coarse grid (F node or demoted C node) in a
+    # component that keeps at least one C node must have its P row sum
+    # to 1, or P 1_c != 1_f and the projection invariant breaks.
+    kept_flag = jnp.zeros(c, bool).at[colidx].set(keep)
+    ccount = jax.ops.segment_sum(kept_flag.astype(jnp.int32), labels,
+                                 num_segments=nseg)
+    relevant = jnp.logical_and(
+        jnp.logical_and(active, nsp),
+        jnp.logical_and(ccount[labels] > 0, jnp.logical_not(kept_flag)))
+    rowsum_p = jnp.sum(P, axis=1)
+    defect = jnp.max(jnp.where(relevant, jnp.abs(rowsum_p - 1.0), 0.0))
+    return Ac, active_next, labels_next, nsp_next, P, defect
 
 
 # ---------------------------------------------------------------------------
@@ -708,10 +755,16 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
         res = jnp.linalg.norm(b - mv0(lv1, x_new))
         # NaN guard (the reference's commented check, Class_AMG.m:79-81):
         # a non-finite cycle result is treated as divergence — revert and
-        # stop rather than poisoning the Newton step.
+        # stop rather than poisoning the Newton step.  A residual-GROWING
+        # cycle (rho > 1) is likewise REVERTED before the break: the
+        # reference keeps the amplified iterate (Class_AMG.m:105-106),
+        # which hands the Newton step a direction that is worse than the
+        # initial guess; keeping the best-so-far iterate is trajectory-
+        # neutral whenever the guard never fires.
         bad = jnp.logical_not(jnp.isfinite(res))
-        x_new = jnp.where(bad, x, x_new)
-        rel_new = jnp.where(bad, rel, res / safe0)
+        grew = jnp.logical_or(bad, res > jnp.linalg.norm(r))
+        x_new = jnp.where(grew, x, x_new)
+        rel_new = jnp.where(grew, rel, res / safe0)
         rho_new = jnp.where(bad, 2.0, res / jnp.linalg.norm(r))
         it = it + 1
         done = jnp.logical_or(rel_new <= retol_eff, it >= opts.maxit)

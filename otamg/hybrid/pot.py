@@ -45,7 +45,9 @@ def make_pot_amg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
         sg = 1.0 / tk
         z1, z2 = rhs[:-1], rhs[-1]
         SPhi = S * Phi
-        phi_e = bk1 + sg * jnp.vdot(Phi, SPhi)
+        # O(mn) same-sign reduction: chunked (TPU emulated-f64 reduce
+        # loses ~4e-14*N relative accuracy on long accumulators)
+        phi_e = bk1 + sg * op.vdot_hi(Phi, SPhi)
         v = op.apply_A(SPhi, p, q)
         w = z1 - (sg / phi_e) * z2 * v
 
@@ -78,7 +80,9 @@ def make_pot_pcg_solver(p: jax.Array, q: jax.Array, Phi: jax.Array,
         sg = 1.0 / tk
         z1, z2 = rhs[:-1], rhs[-1]
         SPhi = S * Phi
-        phi_e = bk1 + sg * jnp.vdot(Phi, SPhi)
+        # O(mn) same-sign reduction: chunked (TPU emulated-f64 reduce
+        # loses ~4e-14*N relative accuracy on long accumulators)
+        phi_e = bk1 + sg * op.vdot_hi(Phi, SPhi)
         v = op.apply_A(SPhi, p, q)
         w = z1 - (sg / phi_e) * z2 * v
         k1, k2 = jax.random.split(key)
@@ -109,7 +113,7 @@ def make_pot_direct_solver(p: jax.Array, q: jax.Array,
         off = (q[:, None] * S.T) * p[None, :]
         H0 = jnp.block([[jnp.diag(d1), off], [off.T, jnp.diag(d2)]])
         ss = op.apply_A(S * Phi, p, q)
-        spp = jnp.vdot(Phi, S * Phi)
+        spp = op.vdot_hi(Phi, S * Phi)
         cH0 = jnp.block([[H0, ss[:, None]], [ss[None, :], spp[None, None]]])
         cT = jnp.diag(jnp.concatenate([tvec, jnp.zeros(1, S.dtype)]))
         Jk = bk1 * jnp.eye(n + m + 1, dtype=S.dtype) + (cT + cH0) / tk

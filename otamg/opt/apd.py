@@ -355,7 +355,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
 
     kkt_x = [kx0]
     kkt_l = [kl0]
-    fxk = [float(jnp.vdot(C, X))]
+    fxk = [float(op.vdot_hi(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -521,7 +521,7 @@ def solve_class1_chunked(prob: Class1Problem,
             k = d["k"] + 1
     kkt_x = [kx0]
     kkt_l = [kl0]
-    fxk = [float(jnp.vdot(C, X))]
+    fxk = [float(op.vdot_hi(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0

@@ -126,7 +126,7 @@ def _make_arrow_pcg_solver(p, q, Phi, opts: APDOptions) -> NewtonSolver:
         d1, d2 = op.asat_diags(S, p, q)
         SPhi = S * Phi
         ss = op.apply_A(SPhi, p, q)
-        spp = jnp.vdot(Phi, SPhi)
+        spp = op.vdot_hi(Phi, SPhi)  # O(mn) same-sign: chunked
         diag = bk1 + jnp.concatenate(
             [tvec + jnp.concatenate([d1, d2]), spp[None]]) / tk
 
@@ -358,7 +358,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
             k_start = d["k"] + 1
 
     kkt_hist = [kkt0]
-    fxk = [float(jnp.vdot(C, X))]
+    fxk = [float(op.vdot_hi(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -511,7 +511,7 @@ def solve_class2_chunked(prob: Class2Problem,
             resk = d["resk"].astype(dtype)
             k = d["k"] + 1
     kkt_hist = [kkt0]
-    fxk = [float(jnp.vdot(C, X))]
+    fxk = [float(op.vdot_hi(C, X))]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -589,7 +589,7 @@ def solve_class2_fused(prob: Class2Problem,
         kkt_norm0 = jnp.stack(k0)
 
         rec_kkt = jnp.zeros((maxit + 1, 4), dtype).at[0].set(kkt_norm0)
-        rec_fx = jnp.zeros(maxit + 1, dtype).at[0].set(jnp.vdot(C, X))
+        rec_fx = jnp.zeros(maxit + 1, dtype).at[0].set(op.vdot_hi(C, X))
         rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
         rec_isum = jnp.zeros(maxit + 1, jnp.int32)

@@ -57,12 +57,37 @@ def apply_A(X: jax.Array, p: jax.Array, q: jax.Array,
     return jnp.concatenate([yn, ym])
 
 
+# Two-stage reduction chunk width.  A single long reduce is numerically
+# unsafe on the TPU's emulated f64: the accumulation is effectively
+# linear with ~4e-14 relative error per step, so a same-sign sum of N
+# elements loses ~4e-14*N relative accuracy (measured on v5e: a 250k
+# all-positive vdot came back with rel err 1.5e-9, enough to blow up the
+# Class-2 warm start through the (ak/bk)-amplified multiplier updates).
+# Splitting into 2048-wide chunks keeps every accumulator short (~2e-15
+# measured) at negligible cost; XLA fuses the reshape.
+_CHUNK = 2048
+
+
+def sum_chunked(x: jax.Array) -> jax.Array:
+    """Numerically-safe sum of a 1-D array (two-stage chunked reduce)."""
+    n = x.shape[0]
+    if n <= _CHUNK:
+        return jnp.sum(x)
+    rows = -(-n // _CHUNK)
+    xp = jnp.pad(x, (0, rows * _CHUNK - n)).reshape(rows, _CHUNK)
+    return jnp.sum(jnp.sum(xp, axis=1))
+
+
 def vdot_hi(a: jax.Array, b: jax.Array, out_dtype=None) -> jax.Array:
-    """Dot product with optional high-precision accumulation."""
-    if out_dtype is None:
-        return jnp.vdot(a, b)
-    return jnp.einsum("i,i->", a.reshape(-1), b.reshape(-1),
-                      precision=_P, preferred_element_type=out_dtype)
+    """Dot product with chunked accumulation (and optional higher
+    precision).  The f32*f32 products are exact in f64, so casting before
+    the multiply matches einsum's mixed-precision accumulate exactly."""
+    a = a.reshape(-1)
+    b = b.reshape(-1)
+    if out_dtype is not None:
+        a = a.astype(out_dtype)
+        b = b.astype(out_dtype)
+    return sum_chunked(a * b)
 
 
 def norm_hi(a: jax.Array, out_dtype=None) -> jax.Array:
@@ -157,7 +182,7 @@ def inv_hht(v: jax.Array, p: jax.Array, q: jax.Array, sg,
     Schur complement with scalar ``s = t - l^T V l``, ``l = A phi``.
     ``Phi`` is the ``(m, n)`` matrix form of ``phi``.
     """
-    t = sg + jnp.vdot(Phi, Phi)
+    t = sg + vdot_hi(Phi, Phi)  # O(mn) same-sign sum: chunked (see above)
     el = apply_A(Phi, p, q)
     Vl = inv_aat(el, p, q, sg + 1.0)
     s = t - jnp.vdot(el, Vl)
