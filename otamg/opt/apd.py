@@ -238,10 +238,19 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
             nFk_new = jnp.linalg.norm(Fk_new)
             it = c.it + 1
             # Break conditions of :213-231: converged, stagnated, budget.
-            done = (nFk_new <= ssn_tol)
-            done = jnp.logical_or(
-                done, jnp.abs(nFk_old - nFk_new) < ssn_tol / 100)
-            done = jnp.logical_or(done, it >= opts.ssn_maxit)
+            conv = (nFk_new <= ssn_tol)
+            stag = jnp.abs(nFk_old - nFk_new) < ssn_tol / 100
+            done = jnp.logical_or(jnp.logical_or(conv, stag),
+                                  it >= opts.ssn_maxit)
+            # Reject a stagnation-exit step that leaves ||F|| above the
+            # tolerance (see apd2.py: it violates the APD inexactness
+            # criterion and can re-excite the feasibility residual in the
+            # marginal tail); the dropped step carried < ssn_tol/100 of
+            # progress by construction.
+            reject = jnp.logical_and(stag, jnp.logical_not(conv))
+            lam_new = jnp.where(reject, lam_old, lam_new)
+            Z_new = jnp.where(reject, Zk_old, Z_new)
+            nFk_new = jnp.where(reject, nFk_old, nFk_new)
             anchor = jnp.where(c.anchor / nFk_new >= 2, nFk_new, c.anchor)
             return _SsnCarry(
                 it, lam_new, Z_new, nFk_new, anchor, done,

@@ -250,11 +250,25 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
             Fk_new = F_of(lam_new, ZX_new, zs_new)
             nFk_new = jnp.linalg.norm(Fk_new)
             it = c.it + 1
-            done = nFk_new <= ssn_tol
+            conv = nFk_new <= ssn_tol
             # Class2 stagnation uses the *full* tolerance (:223).
-            done = jnp.logical_or(done,
-                                  jnp.abs(nFk_old - nFk_new) < ssn_tol)
-            done = jnp.logical_or(done, it >= opts.ssn_maxit)
+            stag = jnp.abs(nFk_old - nFk_new) < ssn_tol
+            done = jnp.logical_or(jnp.logical_or(conv, stag),
+                                  it >= opts.ssn_maxit)
+            # Reject a stagnation-exit step that leaves ||F|| above the
+            # tolerance: it violates the inexactness criterion the APD
+            # feasibility telescoping relies on, and in the marginal tail
+            # (x/y/z residuals frozen near the target) such sub-tolerance
+            # lambda nudges re-excite the feasibility residual kkt_l —
+            # the round-3 TPU stall at rel ~1e-5 with EVERY inner solver.
+            # Only the final (stagnant) step is dropped, losing less than
+            # ssn_tol of residual progress by construction; productive
+            # steps and maxit exits are kept (reference behavior).
+            reject = jnp.logical_and(stag, jnp.logical_not(conv))
+            lam_new = jnp.where(reject, lam_old, lam_new)
+            ZX_new = jnp.where(reject, ZX_old, ZX_new)
+            zs_new = jnp.where(reject, zs_old, zs_new)
+            nFk_new = jnp.where(reject, nFk_old, nFk_new)
             anchor = jnp.where(c.anchor / nFk_new >= 2, nFk_new, c.anchor)
             return _Ssn2Carry(
                 it, lam_new, ZX_new, zs_new, nFk_new, anchor, done,

@@ -27,11 +27,12 @@ from otamg.ot import load_class2_mat
 inner = (sys.argv[1] if len(sys.argv) > 1 else "amg").upper()
 prec = sys.argv[2] if len(sys.argv) > 2 else "fp32"
 maxit = int(sys.argv[3]) if len(sys.argv) > 3 else 100
+tol1 = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-10
 
 solve_dtype = "float32" if prec == "fp32" else None
 prob = load_class2_mat("/root/reference/Class2/InputData/data4-500.mat",
                        dtype=jnp.float64)
-opts = APDOptions(inner_solver=InnerSolver[inner], ssn_tol1=1e-10,
+opts = APDOptions(inner_solver=InnerSolver[inner], ssn_tol1=tol1,
                   solve_dtype=solve_dtype, maxit=maxit,
                   amg=AMGOptions(maxit=40, smoth=10))
 res = solve_class2(prob, opts, verbose=True)
