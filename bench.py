@@ -110,7 +110,8 @@ def _bench_once(cls: str, inner: str):
         # fp32 TPU path cannot absorb (round-3 bench: converged=false).
         opts = APDOptions(inner_solver=InnerSolver[inner],
                           ssn_tol1=1e-10, solve_dtype=solve_dtype,
-                          amg=AMGOptions(maxit=40, smoth=10))
+                          amg=AMGOptions(maxit=40, smoth=10),
+                          feas_polish=True)
 
     try:
         prob = load(path, dtype=dtype)

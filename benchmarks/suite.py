@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def run_class1(m, n, cycle, inner, mesh=None, label="",
-               explicit_dist=False):
+               explicit_dist=False, single=False):
     import jax
 
     from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
@@ -37,10 +37,13 @@ def run_class1(m, n, cycle, inner, mesh=None, label="",
     opts = APDOptions(
         inner_solver=InnerSolver[inner], solve_dtype=solve_dtype,
         amg=AMGOptions(cycle=Cycle[cycle]), explicit_dist=explicit_dist)
-    res = solve_class1(prob, opts)  # warm-up/compile
     t0 = time.time()
-    res = solve_class1(prob, opts)
+    res = solve_class1(prob, opts)  # warm-up/compile
     dt = time.time() - t0
+    if not single:
+        t0 = time.time()
+        res = solve_class1(prob, opts)
+        dt = time.time() - t0
     print(json.dumps({
         "bench": label or f"class1_{m}x{n}_{cycle}_{inner}",
         "m": m, "n": n, "cycle": cycle, "inner": inner,
@@ -49,6 +52,7 @@ def run_class1(m, n, cycle, inner, mesh=None, label="",
         "time_s": round(dt, 3),
         "fail": int(res.fail_count),
         "explicit_dist": explicit_dist,
+        "cold_timing": single,
     }))
     return res
 
@@ -82,6 +86,9 @@ def main():
                     help="shrink sizes for CI")
     ap.add_argument("--configs", default="1,2,3,4",
                     help="comma-separated config numbers to run")
+    ap.add_argument("--single", action="store_true",
+                    help="time the first (cold) solve only — for big "
+                         "configs where a second solve busts the budget")
     args = ap.parse_args()
 
     import jax
@@ -132,7 +139,7 @@ def main():
             mesh = make_mesh(ndev)
         run_class1(size, size, "W", "AMG", mesh=mesh,
                    label=f"cfg5_class1_{size}_dist{ndev}_explicit",
-                   explicit_dist=True)
+                   explicit_dist=True, single=args.single)
 
 
 if __name__ == "__main__":

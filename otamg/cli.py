@@ -67,6 +67,11 @@ def _common(sub):
     sub.add_argument("--shard", action="store_true",
                      help="row-block shard the problem over all (global) "
                           "devices before solving")
+    sub.add_argument("--feas-polish", action="store_true",
+                     help="class2: enable the feasibility-polish tail "
+                          "safeguard (projection onto {Hu=b} when only "
+                          "the feasibility residual stalls; re-measured "
+                          "honestly)")
     sub.add_argument("--profile",
                      help="capture a jax.profiler trace of the solve into "
                           "this directory (view in TensorBoard/Perfetto)")
@@ -119,7 +124,8 @@ def _opts(args, class2=False):
     amg = AMGOptions(maxit=40, smoth=10) if class2 else AMGOptions()
     return APDOptions(maxit=args.maxit, kkt_tol=args.kkt_tol,
                       inner_solver=inner, ssn_tol1=ssn_tol1,
-                      seed=args.seed, solve_dtype=solve_dtype, amg=amg)
+                      seed=args.seed, solve_dtype=solve_dtype, amg=amg,
+                      feas_polish=getattr(args, "feas_polish", False))
 
 
 def _maybe_profile(args):

@@ -139,6 +139,15 @@ class APDOptions:
     # solvers polish via f64 iterative refinement (TPU mode: f64 APD
     # layer, fp32 MXU hierarchy).
     solve_dtype: Optional[str] = None
+    # Class-2 tail safeguard (no reference analogue): when the three
+    # complementarity residuals are at target but the feasibility
+    # residual kkt_l stalls (degenerate active-set chatter under TPU
+    # emulated-f64 rounding), project the primal onto {Hu=b} via the
+    # closed-form inv_hht and re-measure the FULL KKT on the polished
+    # iterate (otamg/ot/operators.py::feasibility_polish).  Off by
+    # default so fixture-trajectory contracts match the reference
+    # exactly; the bench/CLI enable it.
+    feas_polish: bool = False
     # Distributed assembly with EXPLICIT collectives (shard_map psum /
     # all_gather, :mod:`otamg.dist.assembly`) for the hybrid transform,
     # instead of relying on the implicit XLA SPMD partitioner.  Uses a 1-D

@@ -90,6 +90,7 @@ class Solve2Result:
     inner_total: int = 0   # total inner-solver iterations (SumAMG role)
     info_ncomp: np.ndarray | None = None  # per-outer info[0] (num_comp)
     info_last: np.ndarray | None = None   # per-outer info[1] (it_num)
+    polished: bool = False  # feasibility-polish safeguard fired
 
 
 def make_pot_solver_from_options(p, q, Phi, opts: APDOptions) -> NewtonSolver:
@@ -169,10 +170,19 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
     def Hu(X, us, out_dtype=None):
         return op.apply_H(X, us[:n], us[n:], p, q, Phi, out_dtype)
 
-    def ssn_solve(WX, ws, wlk, lam0, bk1, tk, ssn_tol, key):
+    def ssn_solve(WX, ws, wlk, lam0, bk1, tk, ssn_tol, key, tail):
         """SsN loop (``Class2/APD_SsN_Class2.m:136-243``).
         ``lam0``/``wlk``/``bk1`` are hi-precision; z-space arrays stay
-        lo-precision."""
+        lo-precision.
+
+        ``tail`` relaxes the ENTRY test to ``10 * ssn_tol`` in the
+        marginal tail (complementarity residuals at target, only the
+        feasibility residual above): the previous lambda then already
+        satisfies the inexactness criterion up to a constant, and
+        noise-scale Newton nudges would re-excite the feasibility
+        residual.  (A FULL lambda freeze was tried and diverges — the
+        feasibility residual decays through the lambda updates, not the
+        bk-telescoping alone — so only this mild hysteresis remains.)"""
 
         def z_of(lam):
             HtX, Hts = op.apply_Ht(lam.astype(dtype), p, q, Phi)
@@ -192,9 +202,10 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
         ZX0, zs0 = z_of(lam0)
         nF0 = jnp.linalg.norm(F_of(lam0, ZX0, zs0))
+        entry_tol = jnp.where(tail, 10.0 * ssn_tol, ssn_tol)
         big = jnp.asarray(np.iinfo(np.int32).max, jnp.int32)
         init = _Ssn2Carry(jnp.int32(0), lam0, ZX0, zs0, nF0, nF0,
-                          nF0 <= ssn_tol, big, jnp.int32(0), jnp.int32(0),
+                          nF0 <= entry_tol, big, jnp.int32(0), jnp.int32(0),
                           jnp.int32(0), jnp.int32(0), jnp.int32(0), key)
 
         def cond(c):
@@ -279,7 +290,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
         return lax.while_loop(cond, body, init)
 
-    def outer_step(k, X, us, VX, vs, lam, bk, key, resk_prev, kkt_norm0):
+    def outer_step(k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev_kkt):
+        resk_prev = jnp.max(prev_kkt)  # reference's raw `resk` (see :96)
         kf = k.astype(dtype)
         ak = jnp.sqrt(kf ** 2 * bk)
         bk1 = bk / (1 + ak)
@@ -289,10 +301,16 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         ws = bk * (us + ak * vs) / ak ** 2  # wc slack block is zero
         wlk = (bk1 * (lam - (Hu(X, us, acc).astype(hi) - b_hi) / bk)
                - b_hi)
+        # Marginal-tail signature from the previous iteration: x/y/z
+        # residuals at target, only the feasibility residual above (see
+        # ssn_solve's `tail` doc).
+        prev_rel = prev_kkt / (1 + kkt_norm0)
+        tail = jnp.logical_and(jnp.max(prev_rel[:3]) <= opts.kkt_tol,
+                               prev_rel[3] > opts.kkt_tol)
 
         key, sub = jax.random.split(key)
         ssn = ssn_solve(WX, ws, wlk, lam.astype(hi), bk1.astype(hi), tk,
-                        ssn_tol, sub)
+                        ssn_tol, sub, tail)
 
         lam1 = ssn.lam
         X1 = op.prox_nonneg(ssn.ZX)
@@ -359,6 +377,23 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
     step = make_class2_step(prob, opts, solver)
+
+    @jax.jit
+    def _polish(X, us, lam):
+        """Feasibility polish + honest re-measurement (tail safeguard;
+        see operators.feasibility_polish).  Accepted only if the FULL
+        polished KKT meets the tolerance.
+
+        The rounding is dual-aware (saturated rows/columns filled
+        exactly); a dual clip was tried and rejected — zeroing noise
+        duals injects their magnitude into kkt_x through G^T lam."""
+        Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
+                                           lam=lam.astype(X.dtype))
+        usp = jnp.concatenate([yp, zp])
+        k = op.kkt_class2(Xp, yp, zp, lam, C, b, p, q, Phi, acc)
+        fx = op.vdot_hi(C, Xp, acc)
+        return Xp, usp, lam, jnp.stack(k), fx
+
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
     k_start = 1
@@ -378,13 +413,14 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     fail_total = 0
     inner_total = 0
     converged = False
+    polished = False
     k_final = opts.maxit
 
     for k in range(k_start, opts.maxit + 1):
-        resk_prev = jnp.asarray(kkt_hist[-1].max(), dtype)
+        prev_kkt = jnp.asarray(kkt_hist[-1], dtype)
         X, us, VX, vs, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
-            resk_prev, kkt_norm0)
+            kkt_norm0, prev_kkt)
         mtr = jax.device_get(mtr)  # one batched fetch (see apd.py)
         kk = np.asarray([float(mtr.kkt_x), float(mtr.kkt_y),
                          float(mtr.kkt_z), float(mtr.kkt_l)])
@@ -399,6 +435,24 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         fail_total += int(mtr.fail)
         inner_total += int(mtr.it_sum)
         rr = (kk / (1 + kkt0)).max()
+        if (opts.feas_polish and rr > opts.kkt_tol
+                and (kk[:3] / (1 + kkt0[:3])).max() <= opts.kkt_tol):
+            # Complementarity at target, feasibility the sole straggler:
+            # try the projection polish; accept only on full convergence.
+            Xp, usp, lamp, kkp, fxp = _polish(X, us, lam)
+            kkp = np.asarray(kkp)
+            if verbose:
+                print(f"POLISH it={k} kkt={kkp[0]:.2e}/{kkp[1]:.2e}/"
+                      f"{kkp[2]:.2e}/{kkp[3]:.2e} "
+                      f"rr={float((kkp / (1 + kkt0)).max()):.2e}")
+            if (kkp / (1 + kkt0)).max() <= opts.kkt_tol:
+                X, us, lam = Xp, usp, lamp
+                kkt_hist[-1] = kkp
+                fxk[-1] = float(fxp)
+                polished = True
+                converged = True
+                k_final = k
+                break
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
 
@@ -422,7 +476,8 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         solver_itnum=np.asarray(solver_itnum),
         restarts=np.asarray(restarts), fail_count=fail_total,
         wall_time=time.perf_counter() - t0, inner_total=inner_total,
-        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last),
+        polished=polished)
 
 
 def solve_class2_chunked(prob: Class2Problem,
@@ -463,7 +518,7 @@ def solve_class2_chunked(prob: Class2Problem,
     kkt_tol = opts.kkt_tol
 
     @jax.jit
-    def run_chunk(k0_, X, us, VX, vs, lam, bk, key, resk_prev):
+    def run_chunk(k0_, X, us, VX, vs, lam, bk, key, prev0):
         recs0 = {
             "kkt": jnp.zeros((chunk, 4), dtype),
             "fxk": jnp.zeros(chunk, dtype),
@@ -479,14 +534,14 @@ def solve_class2_chunked(prob: Class2Problem,
         }
 
         def cond(c):
-            i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = c
+            i, k, X, us, VX, vs, lam, bk, key, prev, conv, recs = c
             more = jnp.logical_and(i < chunk, k <= maxit)
             return jnp.logical_and(more, jnp.logical_not(conv))
 
         def body(c):
-            i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = c
+            i, k, X, us, VX, vs, lam, bk, key, prev, conv, recs = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
-                k, X, us, VX, vs, lam, bk, key, resk, kkt_norm0)
+                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
             conv = jnp.max(kk / (1 + kkt_norm0)) <= kkt_tol
             recs = {
@@ -503,17 +558,17 @@ def solve_class2_chunked(prob: Class2Problem,
                 "last": recs["last"].at[i].set(mtr.last),
             }
             return (i + 1, k + 1, X1, us1, VX1, vs1, lam1, bk1, key,
-                    jnp.max(kk), conv, recs)
+                    kk.astype(dtype), conv, recs)
 
         init = (jnp.int32(0), k0_, X, us, VX, vs, lam, bk, key,
-                resk_prev, jnp.bool_(False), recs0)
+                prev0, jnp.bool_(False), recs0)
         out = lax.while_loop(cond, body, init)
-        i, k, X, us, VX, vs, lam, bk, key, resk, conv, recs = out
-        return i, X, us, VX, vs, lam, bk, key, resk, conv, recs
+        i, k, X, us, VX, vs, lam, bk, key, prev, conv, recs = out
+        return i, X, us, VX, vs, lam, bk, key, prev, conv, recs
 
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
-    resk = jnp.asarray(kkt0.max(), dtype)
+    prev = jnp.asarray(kkt0, dtype)
     k = 1
     if resume and checkpoint_dir is not None:
         from otamg.diag import checkpoint as ckpt
@@ -522,7 +577,7 @@ def solve_class2_chunked(prob: Class2Problem,
             d = ckpt.load_dict(checkpoint_dir)
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
             lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
-            resk = d["resk"].astype(dtype)
+            prev = d["prev_kkt"].astype(dtype)
             k = d["k"] + 1
     kkt_hist = [kkt0]
     fxk = [float(op.vdot_hi(C, X))]
@@ -532,8 +587,8 @@ def solve_class2_chunked(prob: Class2Problem,
     inner_total = 0
     converged = False
     while k <= maxit and not converged:
-        (i, X, us, VX, vs, lam, bk, key, resk, conv, recs) = run_chunk(
-            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, resk)
+        (i, X, us, VX, vs, lam, bk, key, prev, conv, recs) = run_chunk(
+            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, prev)
         done = int(i)
         converged = bool(conv)
         recs = jax.device_get(recs)
@@ -561,7 +616,7 @@ def solve_class2_chunked(prob: Class2Problem,
 
             ckpt.save_dict(checkpoint_dir, k - 1,
                            dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
-                                bk=bk, key=key, resk=resk))
+                                bk=bk, key=key, prev_kkt=prev))
 
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
@@ -613,16 +668,16 @@ def solve_class2_fused(prob: Class2Problem,
             return jnp.logical_not(c[7])
 
         def body(c):
-            (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
+            (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
              rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
              rec_restart) = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
-                k, X, us, VX, vs, lam, bk, key, resk, kkt_norm0)
+                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
             rr = jnp.max(kk / (1 + kkt_norm0))
             done = jnp.logical_or(rr <= opts.kkt_tol, k >= maxit)
             return (k + 1, X1, us1, VX1, vs1, lam1, bk1, done, key,
-                    jnp.max(kk), fail + mtr.fail,
+                    kk.astype(dtype), fail + mtr.fail,
                     rec_kkt.at[k].set(kk), rec_fx.at[k].set(mtr.fxk),
                     rec_ssn.at[k].set(mtr.ssn_it),
                     rec_imax.at[k].set(mtr.it_max),
@@ -631,10 +686,10 @@ def solve_class2_fused(prob: Class2Problem,
 
         init = (jnp.int32(1), X, us, VX, vs, lam,
                 jnp.asarray(1.0, dtype), jnp.bool_(False), key,
-                jnp.max(kkt_norm0), jnp.int32(0),
+                kkt_norm0.astype(dtype), jnp.int32(0),
                 rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart)
         out = lax.while_loop(cond, body, init)
-        (k, X, us, VX, vs, lam, bk, done, key, resk, fail,
+        (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
          rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart) = out
         return (k - 1, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn,
                 rec_imax, rec_isum, rec_restart, kkt_norm0)

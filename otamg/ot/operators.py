@@ -213,6 +213,107 @@ def apply_H(X: jax.Array, y: jax.Array, z: jax.Array,
     return jnp.concatenate([top, bot[None]])
 
 
+def feasibility_polish(X: jax.Array, y: jax.Array, z: jax.Array,
+                       p: jax.Array, q: jax.Array, Phi: jax.Array,
+                       b: jax.Array, rounds: int = 8,
+                       lam: jax.Array | None = None):
+    """OT-native feasibility rounding of the POT primal ``u = (X, y, z)``
+    onto ``{H u = b, u >= 0}`` (Altschuler-et-al-style, adapted to the
+    partial-OT slack structure).
+
+    Tail safeguard with no reference analogue: in the degenerate APD tail
+    the complementarity residuals can sit at target while the feasibility
+    residual ``||H u - b||`` stalls on active-set chatter (the TPU's
+    emulated-f64 rounding is ~100x CPU's, which flips marginally-active
+    entries).  A least-norm projection fails here — it spreads correction
+    mass onto the plan's zero entries where the nonneg clip undoes it —
+    so instead:
+
+    1. scale each column/row of ``X`` down to its marginal
+       (``p^T X_col <= b_j``, ``(X q)_i <= b_{n+i}``) — never increases
+       entries, preserves the support;
+    2. restore the phi-row mass ``phi^T x = mu``: a deficit is added
+       back proportionally to the remaining row/column slacks (never
+       violating the marginals), a surplus removed by a global scale;
+    3. the slacks absorb the (now one-sided) marginal gaps exactly:
+       ``y = b[:n] - X^T p >= 0``, ``z = b[n:] - X q >= 0``.
+
+    The result is feasible to roundoff; the caller re-measures the FULL
+    KKT on the polished iterate, so the convergence claim stays honest.
+
+    With ``lam`` given, the rounding is DUAL-AWARE: columns/rows whose
+    duals are strictly positive are filled EXACTLY to their marginals
+    (complementarity demands zero slack there) and the phi-mass rebalance
+    is restricted to doubly-unsaturated entries, so the residual marginal
+    gaps settle where ``y/z > 0`` is dual-consistent.
+    """
+    n = q.shape[0]
+    m = p.shape[0]
+    bl, bm, mu = b[:n], b[n:-1], b[-1]
+    if lam is not None:
+        # Dual-saturated rows/columns (lam strictly positive above noise)
+        # must end with ZERO slack or the reassigned y/z reads as
+        # complementarity residual against those duals.
+        sat_c = lam[:n] > 1e-5
+        sat_r = lam[n:n + m] > 1e-5
+    else:
+        sat_c = jnp.zeros(n, bool)
+        sat_r = jnp.zeros(m, bool)
+    for _ in range(rounds):
+        # 1. column/row scale-down (never increases entries, keeps the
+        # support), then EXACT multiplicative fill-up of the saturated
+        # columns and rows.  The row pass perturbs the columns first-
+        # order in the slack, so the alternation is Sinkhorn-like and
+        # converges geometrically over the rounds.
+        col = jnp.matmul(X.T, p, precision=_P)           # (n,)
+        X = X * jnp.minimum(1.0, bl / jnp.where(col > 0, col, 1.0))[None, :]
+        row = jnp.matmul(X, q, precision=_P)             # (m,)
+        X = X * jnp.minimum(1.0, bm / jnp.where(row > 0, row, 1.0))[:, None]
+        col = jnp.matmul(X.T, p, precision=_P)
+        fc = jnp.where(sat_c & (col > 0),
+                       bl / jnp.where(col > 0, col, 1.0), 1.0)
+        X = X * fc[None, :]
+        row = jnp.matmul(X, q, precision=_P)
+        fr = jnp.where(sat_r & (row > 0),
+                       bm / jnp.where(row > 0, row, 1.0), 1.0)
+        X = X * fr[:, None]
+        mass = vdot_hi(Phi, X)
+        if lam is not None:
+            # 2a. phi-row mass correction through the doubly-UNSATURATED
+            # entries only (their rows/columns have genuine slack, so
+            # the rescale lands where y/z > 0 is dual-consistent).
+            U = (~sat_r)[:, None] & (~sat_c)[None, :]
+            Mu = vdot_hi(Phi * U, X)
+            want = mu - (mass - Mu)
+            f = jnp.where(Mu > 0, want / jnp.where(Mu > 0, Mu, 1.0), 1.0)
+            X = jnp.where(U, X * f, X)
+        else:
+            # 2b. generic mass correction: a deficit is ADDED along the
+            # row/column slack product (never violating the marginals —
+            # targeted, so it converges on sparse supports where a
+            # global rescale would ping-pong against the marginal caps);
+            # a surplus is removed by a global scale.
+            deficit = mu - mass
+            col = jnp.matmul(X.T, p, precision=_P)
+            row = jnp.matmul(X, q, precision=_P)
+            cs = jnp.maximum(bl - col, 0.0)
+            rs = jnp.maximum(bm - row, 0.0)
+            D = (rs / p)[:, None] * cs[None, :]
+            denom = vdot_hi(Phi, D)
+            add = jnp.where(denom > 0,
+                            deficit / jnp.where(denom > 0, denom, 1.0),
+                            0.0)
+            scale = jnp.where(mass > 0,
+                              mu / jnp.where(mass > 0, mass, 1.0), 1.0)
+            X = jnp.where(deficit >= 0, X + add * D, X * scale)
+    # 3. slacks absorb the marginal gaps exactly.
+    col = jnp.matmul(X.T, p, precision=_P)
+    row = jnp.matmul(X, q, precision=_P)
+    y = prox_nonneg(bl - col)
+    z = prox_nonneg(bm - row)
+    return X, y, z
+
+
 def apply_Ht(lam: jax.Array, p: jax.Array, q: jax.Array, Phi: jax.Array):
     """``H^T lam`` split into plan/slack parts (reference
     ``Class2/APD_SsN_Class2.m:124``): returns ``(G^T lam`` as ``(m, n)``,

@@ -28,14 +28,23 @@ inner = (sys.argv[1] if len(sys.argv) > 1 else "amg").upper()
 prec = sys.argv[2] if len(sys.argv) > 2 else "fp32"
 maxit = int(sys.argv[3]) if len(sys.argv) > 3 else 100
 tol1 = float(sys.argv[4]) if len(sys.argv) > 4 else 1e-10
+seed = int(sys.argv[5]) if len(sys.argv) > 5 else 0
 
 solve_dtype = "float32" if prec == "fp32" else None
 prob = load_class2_mat("/root/reference/Class2/InputData/data4-500.mat",
                        dtype=jnp.float64)
 opts = APDOptions(inner_solver=InnerSolver[inner], ssn_tol1=tol1,
                   solve_dtype=solve_dtype, maxit=maxit,
-                  amg=AMGOptions(maxit=40, smoth=10))
+                  amg=AMGOptions(maxit=40, smoth=10), seed=seed,
+                  feas_polish=bool(int(os.environ.get("C2_POLISH", "0"))))
 res = solve_class2(prob, opts, verbose=True)
 print(f"FINAL converged={res.converged} iters={res.iters} "
       f"fails={res.fail_count} platform={jax.default_backend()} "
       f"inner={inner} prec={prec}")
+
+dump = os.environ.get("C2_DUMP")
+if dump:
+    import numpy as np
+    np.savez(dump, X=np.asarray(res.X), y=np.asarray(res.y),
+             z=np.asarray(res.z), lam=np.asarray(res.lam))
+    print("dumped state to", dump)

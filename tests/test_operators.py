@@ -150,3 +150,63 @@ def test_ingest_rejects_zero_weights(tmp_path):
     sio.savemat(path, d)
     with pytest.raises(ValueError, match="zero elements"):
         load_class1_mat(path)
+
+
+def test_feasibility_polish_projects_onto_constraint():
+    """The Class-2 tail safeguard: alternating projection onto {Hu=b} and
+    the nonnegative orthant kills a small feasibility residual by orders
+    of magnitude without leaving the orthant."""
+    import jax
+
+    from otamg.ot import operators as op
+    from otamg.ot import random_class2
+
+    prob = random_class2(jax.random.PRNGKey(3), 20, 16, mu_frac=0.5)
+    p, q, Phi, b = prob.p, prob.q, prob.Phi, prob.b
+    n, m = prob.n, prob.m
+    # feasible interior-ish point: mass-scaled product coupling + slacks
+    # absorbing the marginal remainders; perturb at the safeguard's
+    # operating scale (the tail stall is ~1e-5 feasibility error)
+    X = jnp.outer(prob.l, prob.r)
+    X = X * (b[-1] / op.vdot_hi(Phi, X))     # phi' x = mu exactly
+    y = jnp.maximum(b[:n] - X.sum(axis=0), 0.0)
+    z = jnp.maximum(b[n:n + m] - X.sum(axis=1), 0.0)
+    X = X * (1 + 1e-5 * jax.random.uniform(jax.random.PRNGKey(4), X.shape))
+    r0 = float(jnp.linalg.norm(
+        op.apply_H(X, y, z, p, q, Phi) - b))
+    assert r0 > 1e-6
+    Xp, yp, zp = op.feasibility_polish(X, y, z, p, q, Phi, b)
+    r1 = float(jnp.linalg.norm(
+        op.apply_H(Xp, yp, zp, p, q, Phi) - b))
+    assert r1 < 1e-12
+    assert float(jnp.min(Xp)) >= 0 and float(jnp.min(yp)) >= 0
+    assert float(jnp.min(zp)) >= 0
+    # the polish is a least-norm-sized correction: stays near the input
+    assert float(jnp.linalg.norm(Xp - X)) <= 10 * r0
+
+
+def test_feasibility_polish_sparse_support():
+    """The rounding must also work on a SPARSE plan (the real tail state:
+    OT solutions are sparse; a least-norm projection fails there because
+    its correction clips on the zero entries)."""
+    import jax
+
+    from otamg.ot import operators as op
+    from otamg.ot import random_class2
+
+    prob = random_class2(jax.random.PRNGKey(5), 24, 18, mu_frac=0.5)
+    p, q, Phi, b = prob.p, prob.q, prob.Phi, prob.b
+    n, m = prob.n, prob.m
+    key1, key2 = jax.random.split(jax.random.PRNGKey(6))
+    mask = jax.random.uniform(key1, (m, n)) < 0.08   # ~sparse support
+    X = jnp.where(mask, jnp.outer(prob.l, prob.r), 0.0)
+    X = X * (b[-1] / op.vdot_hi(Phi, X))
+    y = jnp.maximum(b[:n] - X.sum(axis=0), 0.0)
+    z = jnp.maximum(b[n:n + m] - X.sum(axis=1), 0.0)
+    X = X * (1 + 1e-5 * jax.random.uniform(key2, X.shape))
+    r0 = float(jnp.linalg.norm(op.apply_H(X, y, z, p, q, Phi) - b))
+    assert r0 > 1e-7
+    Xp, yp, zp = op.feasibility_polish(X, y, z, p, q, Phi, b)
+    r1 = float(jnp.linalg.norm(op.apply_H(Xp, yp, zp, p, q, Phi) - b))
+    assert r1 < 1e-11, f"sparse polish left r={r1:.2e}"
+    assert float(jnp.min(Xp)) >= 0
