@@ -62,22 +62,22 @@ def _spmv_kernel(cols_ref, vals_ref, x_ref, out_ref, *, n_chunks):
     # int64 iota indices internally, and Mosaic's i64 emulation recurses
     # past Python's stack limit during lowering.  Operands here are
     # f32/i32 regardless, so this only pins the internal index dtype.
+    #
+    # The chunk sweep is UNROLLED at trace time (IR grows as n/128): a
+    # fori_loop + dynamic-sublane-slice variant was tried for O(1) IR but
+    # the axon remote Mosaic compiler rejects it (tpu_compile_helper
+    # exit 1, round-3 KERNELS_tpu run); the unrolled form is the one
+    # validated on the chip (rel_err 1.5e-7 vs the XLA oracle).
+    x = x_ref[...]
     with jax.enable_x64(False):
-        # fori_loop (not a traced Python loop) keeps the kernel IR O(1) in
-        # the source-vector length — important with minutes-long remote
-        # Mosaic compiles; the chunk row is loaded from the resident VMEM
-        # block with a dynamic sublane index.
-        def chunk_step(c, g):
-            row = x_ref[pl.ds(c, 1), :]
-            chunk = jnp.broadcast_to(row, (b, 128))
+        g = jnp.zeros((b, 128), vals.dtype)
+        for c in range(n_chunks):
+            chunk = jnp.broadcast_to(x[c:c + 1, :], (b, 128))
             local = cols - c * 128
             valid = (local >= 0) & (local < 128)
             safe = jnp.where(valid, local, 0)
-            return jnp.where(
-                valid, jnp.take_along_axis(chunk, safe, axis=1), g)
-
-        g = jax.lax.fori_loop(0, n_chunks, chunk_step,
-                              jnp.zeros((b, 128), vals.dtype))
+            g = jnp.where(valid,
+                          jnp.take_along_axis(chunk, safe, axis=1), g)
         out_ref[...] += jnp.sum(vals * g, axis=1, keepdims=True)
 
 
@@ -105,22 +105,37 @@ def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
         ell_vals = jnp.pad(ell_vals, ((0, pad), (0, capp)))
     nc = -(-n // 128)                   # 128-lane source chunks
     x2 = jnp.pad(x, (0, nc * 128 - n)).reshape(nc, 128)
-    out = pl.pallas_call(
-        functools.partial(_spmv_kernel, n_chunks=nc),
-        out_shape=jax.ShapeDtypeStruct((nb * block_rows, 1),
-                                       ell_vals.dtype),
-        grid=(nb, nt),
-        in_specs=[
-            pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-            pl.BlockSpec(x2.shape, lambda i, t: (0, 0),
-                         memory_space=pl.ANY if interpret else pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((block_rows, 1), lambda i, t: (i, 0),
-                               memory_space=pl.ANY if interpret
-                               else pltpu.VMEM),
-        interpret=interpret,
-    )(ell_cols, ell_vals, x2)
+    return _pallas_spmv(ell_cols, ell_vals, x2, nr, nb, nt, nc,
+                        block_rows, interpret)
+
+
+def _pallas_spmv(ell_cols, ell_vals, x2, nr, nb, nt, nc, block_rows,
+                 interpret):
+    # Trace the pallas_call itself with x64 OFF: under jax_enable_x64 the
+    # grid/index bookkeeping picks up i64 scalars and the axon remote
+    # Mosaic AOT helper crashes (HTTP 500, round-3 KERNELS_tpu run); the
+    # operands are f32/i32 either way, so the context only pins internal
+    # index dtypes.
+    with jax.enable_x64(False):
+        out = pl.pallas_call(
+            functools.partial(_spmv_kernel, n_chunks=nc),
+            out_shape=jax.ShapeDtypeStruct((nb * block_rows, 1),
+                                           ell_vals.dtype),
+            grid=(nb, nt),
+            in_specs=[
+                pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM),
+                pl.BlockSpec((block_rows, 128), lambda i, t: (i, t),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM),
+                pl.BlockSpec(x2.shape, lambda i, t: (0, 0),
+                             memory_space=pl.ANY if interpret
+                             else pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((block_rows, 1), lambda i, t: (i, 0),
+                                   memory_space=pl.ANY if interpret
+                                   else pltpu.VMEM),
+            interpret=interpret,
+        )(ell_cols, ell_vals, x2)
     return out[:nr, 0]
