@@ -372,15 +372,19 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     converged = False
     k_final = opts.maxit
 
-    for k in range(k_start, opts.maxit + 1):
-        resk_prev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
-        X, V, lam, bk, key, mtr = step(
-            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_prev,
-            kkt_norm0)
-        # One batched device->host fetch for all per-iteration scalars
-        # (individual float() casts would each block on a round trip —
-        # expensive over a remote-TPU relay).
-        mtr = jax.device_get(mtr)
+    # Software-pipelined metric fetch: the relay round trip is ~23 ms
+    # each way (measured v5e, round 3), and the loop paid it twice per
+    # iteration — once to dispatch, once to device_get the metrics.  The
+    # restart residual `resk` now flows device-to-device (exact same
+    # value, never materialized on host), and iteration k's metrics are
+    # fetched WHILE iteration k+1 executes; the stopping decision lags
+    # one iteration (one extra dispatched step after convergence, whose
+    # result is discarded by restoring the saved converged state).
+    resk_dev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
+
+    def record(mtr_dev):
+        nonlocal fail_total, inner_total
+        mtr = jax.device_get(mtr_dev)
         kkt_x.append(float(mtr.kkt_x))
         kkt_l.append(float(mtr.kkt_l))
         fxk.append(float(mtr.fxk))
@@ -393,20 +397,46 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         fail_total += int(mtr.fail)
         inner_total += int(mtr.it_sum)
         rr = max(kkt_x[-1] / (1 + kx0), kkt_l[-1] / (1 + kl0))
+        return rr
+
+    def report(k):
         if verbose:
             print(f"APD it={k:3d} kkt_x={kkt_x[-1]:.2e} "
                   f"kkt_l={kkt_l[-1]:.2e} fk={fxk[-1]:.6e} "
                   f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
                   + (" RESTART" if restarts[-1] else ""))
+
+    pending = None          # (k, metrics, state-after-step-k)
+    for k in range(k_start, opts.maxit + 1):
+        prev_state = (X, V, lam, bk, key)
+        X, V, lam, bk, key, mtr = step(
+            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_dev,
+            kkt_norm0)
+        resk_dev = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
+        if pending is not None:
+            kp, mtr_p = pending
+            rr = record(mtr_p)
+            report(kp)
+            if rr <= opts.kkt_tol:
+                converged = True
+                k_final = kp
+                # the state after step kp is what step k consumed
+                X, V, lam, bk, key = prev_state
+                pending = None
+                break
+        pending = (k, mtr)
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
 
             ckpt.save_state(checkpoint_dir,
                             ckpt.APDState(X, V, lam, bk, key, k))
+    if pending is not None:
+        kp, mtr_p = pending
+        rr = record(mtr_p)
+        report(kp)
         if rr <= opts.kkt_tol:
             converged = True
-            k_final = k
-            break
+            k_final = kp
 
     return SolveResult(
         X=X, lam=lam, converged=converged, iters=k_final,

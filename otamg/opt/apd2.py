@@ -416,12 +416,15 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     polished = False
     k_final = opts.maxit
 
-    for k in range(k_start, opts.maxit + 1):
-        prev_kkt = jnp.asarray(kkt_hist[-1], dtype)
-        X, us, VX, vs, lam, bk, key, mtr = step(
-            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
-            kkt_norm0, prev_kkt)
-        mtr = jax.device_get(mtr)  # one batched fetch (see apd.py)
+    # Software-pipelined metric fetch, as in solve_class1: prev_kkt flows
+    # device-to-device and iteration k's metrics are fetched while k+1
+    # executes; the stopping/polish decision lags one iteration and the
+    # converged state is restored from the saved pre-dispatch state.
+    prev_dev = jnp.asarray(kkt_hist[-1], dtype)
+
+    def record(mtr_dev):
+        nonlocal fail_total, inner_total
+        mtr = jax.device_get(mtr_dev)
         kk = np.asarray([float(mtr.kkt_x), float(mtr.kkt_y),
                          float(mtr.kkt_z), float(mtr.kkt_l)])
         kkt_hist.append(kk)
@@ -434,15 +437,32 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         info_last.append(int(mtr.last))
         fail_total += int(mtr.fail)
         inner_total += int(mtr.it_sum)
+        return kk
+
+    def finish(kp, kk, state):
+        """Convergence / polish decision for iteration kp whose
+        post-step state is `state`.  Returns True when solved."""
+        nonlocal X, us, lam, converged, polished, k_final
         rr = (kk / (1 + kkt0)).max()
+        if verbose:
+            print(f"APD2 it={kp:3d} kkt={kk[0]:.2e}/{kk[1]:.2e}/"
+                  f"{kk[2]:.2e}/{kk[3]:.2e} fk={fxk[-1]:.6e} "
+                  f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
+                  + (" RESTART" if restarts[-1] else ""))
+        if rr <= opts.kkt_tol:
+            X, us, lam = state[0], state[1], state[4]
+            converged = True
+            k_final = kp
+            return True
         if (opts.feas_polish and rr > opts.kkt_tol
                 and (kk[:3] / (1 + kkt0[:3])).max() <= opts.kkt_tol):
             # Complementarity at target, feasibility the sole straggler:
             # try the projection polish; accept only on full convergence.
-            Xp, usp, lamp, kkp, fxp = _polish(X, us, lam)
+            Xp, usp, lamp, kkp, fxp = _polish(state[0], state[1],
+                                              state[4])
             kkp = np.asarray(kkp)
             if verbose:
-                print(f"POLISH it={k} kkt={kkp[0]:.2e}/{kkp[1]:.2e}/"
+                print(f"POLISH it={kp} kkt={kkp[0]:.2e}/{kkp[1]:.2e}/"
                       f"{kkp[2]:.2e}/{kkp[3]:.2e} "
                       f"rr={float((kkp / (1 + kkt0)).max()):.2e}")
             if (kkp / (1 + kkt0)).max() <= opts.kkt_tol:
@@ -451,23 +471,35 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
                 fxk[-1] = float(fxp)
                 polished = True
                 converged = True
-                k_final = k
+                k_final = kp
+                return True
+        return False
+
+    pending = None          # (k, metrics, state-after-step-k)
+    for k in range(k_start, opts.maxit + 1):
+        prev_state = (X, us, VX, vs, lam, bk, key)
+        X, us, VX, vs, lam, bk, key, mtr = step(
+            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
+            kkt_norm0, prev_dev)
+        prev_dev = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z,
+                              mtr.kkt_l]).astype(dtype)
+        if pending is not None:
+            kp, mtr_p = pending
+            kk = record(mtr_p)
+            if finish(kp, kk, prev_state):
+                pending = None
                 break
+        pending = (k, mtr)
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
 
             ckpt.save_dict(checkpoint_dir, k,
                            dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
                                 bk=bk, key=key))
-        if verbose:
-            print(f"APD2 it={k:3d} kkt={kk[0]:.2e}/{kk[1]:.2e}/"
-                  f"{kk[2]:.2e}/{kk[3]:.2e} fk={fxk[-1]:.6e} "
-                  f"ssn={ssn_itnum[-1]} inner={solver_itnum[-1]}"
-                  + (" RESTART" if restarts[-1] else ""))
-        if rr <= opts.kkt_tol:
-            converged = True
-            k_final = k
-            break
+    if pending is not None:
+        kp, mtr_p = pending
+        kk = record(mtr_p)
+        finish(kp, kk, (X, us, VX, vs, lam, bk, key))
 
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
