@@ -17,7 +17,8 @@ import sys
 import time
 
 HERE = os.path.dirname(os.path.abspath(__file__))
-BENCHES = ["bipartite_masked_gemv", "ell_spmv_xla", "ell_spmv_pallas",
+BENCHES = ["bipartite_masked_gemv", "bip_gemv_loop", "bip_sweep_loop",
+           "ell_spmv_xla", "ell_spmv_pallas",
            "galerkin_gemm", "newton_solve_amg"]
 
 

@@ -59,6 +59,10 @@ class BipartiteLevel(NamedTuple):
     nsp: jax.Array      # (n + m,) near-singular-component mask
     Axi: jax.Array      # (n + m,) A @ 1 (for kernel-projected smoothing)
     xx: jax.Array       # (n + m,) per-node gathered xi^T A xi of component
+    Exi1: jax.Array     # (m,)  E @ nsp[:n] — the fused smoother's carried
+    #                     edge-product update along the projection vector
+    #                     (exact: E is nonnegative, the sum cancels nothing)
+    Etxi2: jax.Array    # (n,)  E^T @ nsp[n:]
 
 
 class DenseLevel(NamedTuple):
@@ -116,6 +120,18 @@ Hierarchy = tuple  # (BipartiteLevel | DenseLevel | CSRLevel, tuple[...])
 
 
 def csr_matvec(lv: CSRLevel, v: jax.Array) -> jax.Array:
+    # Production consumer of the Pallas ELL SpMV (round-4 on-chip
+    # measurement: 86 GB/s vs the XLA gather's 18 GB/s at 2048x204,
+    # 517 GB/s at 8192 — benchmarks/KERNELS_tpu.jsonl).  The kernel
+    # itself falls back to the XLA path for f64 operands or rows denser
+    # than ELL pays for; here we additionally gate on TPU + a size floor
+    # below which dispatch overhead dominates any kernel choice.
+    if (jax.default_backend() == "tpu"
+            and lv.ell_vals.dtype == jnp.float32
+            and lv.ell_cols.shape[0] >= 1024):
+        from otamg.sparse.kernels import ell_spmv
+
+        return ell_spmv(lv.ell_cols, lv.ell_vals, v)
     return jnp.sum(lv.ell_vals * v[lv.ell_cols], axis=1)
 
 
@@ -220,6 +236,113 @@ def _projected_smooth(matvec, smooth_apply, lv, e, r, smoth_it: int,
     return lax.fori_loop(0, smoth_it, sweep, e)
 
 
+def _projected_smooth_bip(lv: BipartiteLevel, e, r, smoth_it: int,
+                          transpose: bool, nseg: int,
+                          deflated: bool, e_is_zero: bool):
+    """Traffic-optimal fused form of :func:`_projected_smooth` for the
+    bipartite fine level — the solver's hot loop (``MG_Wcycle.m:16-23``
+    at level 1).
+
+    The generic sweep reads ``E`` three times: the residual's matvec
+    needs both ``E^T e2`` and ``E e1``, and the block-GS apply one more
+    directed product.  Here the edge products ``u = E e1`` / ``w = E^T
+    e2`` are CARRIED across sweeps and updated incrementally from the
+    sweep's own corrections — the residual then costs no ``E`` reads at
+    all, and each sweep performs exactly the two directed products its
+    Gauss-Seidel data dependency forces (``E d1`` cannot start before
+    ``E^T e2`` is known): the structural floor of 2 reads/sweep.  The
+    projection-term updates ride the precomputed ``Exi1``/``Etxi2``
+    (component coefficients are scalars per component, and ``E`` has no
+    edges across components).  Math identical to the generic path;
+    float-level rounding differs only in the order of the carried sums.
+
+    ``e_is_zero`` marks the pre-smoothing entry (the cycle zeroes the
+    level): the carried products start at exactly zero instead of two
+    warm-up reads.
+    """
+    n = lv.W.shape[0]
+    m = lv.E.shape[0]
+    dtype = r.dtype
+    itk = lv.inv_tk
+    g1d, g2d = lv.g[:n], lv.g[n:]
+    r1, r2 = r[:n], r[n:]
+    lab1, lab2 = lv.labels[:n], lv.labels[n:]
+    nsp1, nsp2 = lv.nsp[:n], lv.nsp[n:]
+    xi1 = nsp1.astype(dtype)
+    xi2 = nsp2.astype(dtype)
+    if e_is_zero:
+        e1 = jnp.zeros(n, dtype)
+        e2 = jnp.zeros(m, dtype)
+        u = jnp.zeros(m, dtype)
+        w = jnp.zeros(n, dtype)
+    else:
+        e1, e2 = e[:n], e[n:]
+        u = _mm(lv.E, e1)
+        w = _mm(lv.E.T, e2)
+
+    if deflated:
+        cnt = (jax.ops.segment_sum(xi1, lab1, num_segments=nseg)
+               + jax.ops.segment_sum(xi2, lab2, num_segments=nseg))
+        safe_cnt = jnp.where(cnt > 0, cnt, 1.0)
+
+        def sweep(_, c):
+            e1, e2, u, w = c
+            gg1 = r1 - g1d * e1 + itk * w
+            gg2 = r2 - g2d * e2 + itk * u
+            if not transpose:
+                d1 = gg1 / g1d
+                t = _mm(lv.E, d1)
+                d2 = (gg2 + itk * t) / g2d
+                tw = _mm(lv.E.T, d2)
+            else:
+                d2 = gg2 / g2d
+                tw = _mm(lv.E.T, d2)
+                d1 = (gg1 + itk * tw) / g1d
+                t = _mm(lv.E, d1)
+            e1m, e2m = e1 + d1, e2 + d2
+            mean = (jax.ops.segment_sum(e1m * xi1, lab1, num_segments=nseg)
+                    + jax.ops.segment_sum(e2m * xi2, lab2,
+                                          num_segments=nseg)) / safe_cnt
+            m1 = jnp.where(nsp1, mean[lab1], 0.0)
+            m2 = jnp.where(nsp2, mean[lab2], 0.0)
+            return (e1m - xi1 * m1, e2m - xi2 * m2,
+                    u + t - m2 * lv.Exi1, w + tw - m1 * lv.Etxi2)
+
+        e1, e2, _, _ = lax.fori_loop(0, smoth_it, sweep, (e1, e2, u, w))
+        return jnp.concatenate([e1, e2])
+
+    xx1, xx2 = lv.xx[:n], lv.xx[n:]
+    sxx1 = jnp.where(jnp.abs(xx1) > 0, xx1, 1.0)
+    sxx2 = jnp.where(jnp.abs(xx2) > 0, xx2, 1.0)
+    Axi1, Axi2 = lv.Axi[:n], lv.Axi[n:]
+
+    def sweep(_, c):
+        e1, e2, u, w = c
+        gg1 = r1 - g1d * e1 + itk * w
+        gg2 = r2 - g2d * e2 + itk * u
+        xig = (jax.ops.segment_sum(gg1 * xi1, lab1, num_segments=nseg)
+               + jax.ops.segment_sum(gg2 * xi2, lab2, num_segments=nseg))
+        c1 = jnp.where(nsp1, xig[lab1] / sxx1, 0.0)
+        c2 = jnp.where(nsp2, xig[lab2] / sxx2, 0.0)
+        gp1 = gg1 - Axi1 * c1
+        gp2 = gg2 - Axi2 * c2
+        if not transpose:
+            d1 = gp1 / g1d
+            t = _mm(lv.E, d1)
+            d2 = (gp2 + itk * t) / g2d
+            tw = _mm(lv.E.T, d2)
+        else:
+            d2 = gp2 / g2d
+            tw = _mm(lv.E.T, d2)
+            d1 = (gp1 + itk * tw) / g1d
+            t = _mm(lv.E, d1)
+        return (e1 + xi1 * c1 + d1, e2 + xi2 * c2 + d2,
+                u + c2 * lv.Exi1 + t, w + c1 * lv.Etxi2 + tw)
+
+    e1, e2, _, _ = lax.fori_loop(0, smoth_it, sweep, (e1, e2, u, w))
+    return jnp.concatenate([e1, e2])
+
+
 # ---------------------------------------------------------------------------
 # Setup
 # ---------------------------------------------------------------------------
@@ -297,9 +420,18 @@ def setup_hierarchy(E: jax.Array, g: jax.Array, inv_tk,
     defect1 = jnp.max(jnp.where(relevant, jnp.abs(rowsum1 - 1.0), 0.0))
     ok = defect1 < 0.1
 
+    # Fused-smoother projection products: E @ xi and E^T @ xi for the
+    # near-singular indicator xi = nsp.  Nonnegative sums — exact, no
+    # cancellation (unlike Ae @ 1, see the ``gk`` note below) — computed
+    # once per hierarchy (two E reads, amortized over every sweep).
+    xi1 = nsp[:n].astype(dtype)
+    xi2 = nsp[n:].astype(dtype)
+    Exi1 = _mm(E, xi1)
+    Etxi2 = _mm(E.T, xi2)
     lv1_partial = BipartiteLevel(E, g, jnp.asarray(inv_tk, dtype), W,
                                  labels, nsp,
-                                 jnp.zeros(N, dtype), jnp.ones(N, dtype))
+                                 jnp.zeros(N, dtype), jnp.ones(N, dtype),
+                                 Exi1, Etxi2)
     if gk is None:
         ones_fine = jnp.ones(N, dtype)
         Axi1 = bip_matvec(lv1_partial, ones_fine)
@@ -613,8 +745,15 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
             return mv0(levels[l], v) if l == 0 \
                 else dense_matvec(levels[l], v)
 
-        def lvl_smooth(l, e, r, transpose):
+        def lvl_smooth(l, e, r, transpose, e_is_zero=False):
             if l == 0:
+                if bip0:
+                    # Fused 2-reads-per-sweep form (see
+                    # _projected_smooth_bip); the pre-smooth entry always
+                    # starts from a zeroed level.
+                    return _projected_smooth_bip(levels[0], e, r, smoth_it,
+                                                 transpose, nseg, deflated,
+                                                 e_is_zero)
                 return _projected_smooth(mv0, sm0, levels[l], e, r,
                                          smoth_it, transpose, nseg,
                                          deflated)
@@ -737,22 +876,29 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
                        opts.coarse_solver == "direct", deflated)
     mv0 = _level0_ops(lv1)[0]
 
-    res0 = jnp.linalg.norm(b - mv0(lv1, guess))
+    r0 = b - mv0(lv1, guess)
+    res0 = jnp.linalg.norm(r0)
     safe0 = jnp.where(res0 == 0, 1.0, res0)
     # Low-precision floor on the relative tolerance (never binds in fp64).
     retol_eff = jnp.maximum(jnp.asarray(opts.retol, b.dtype),
                             4 * jnp.finfo(b.dtype).eps)
 
     def cond(c):
-        it, x, rel, rho, done = c
+        it, x, r, rel, rho, done = c
         return jnp.logical_not(done)
 
     def body(c):
-        it, x, rel, rho, _ = c
-        r = b - mv0(lv1, x)
+        # The residual is CARRIED: iteration k's post-update residual
+        # ``b - A x_new`` is exactly iteration k+1's ``r`` (the revert
+        # keeps the old pair), so recomputing it at the top of the body
+        # — as the reference does (``Class_AMG.m:95-104``) — would cost a
+        # redundant fine-level matvec per iteration.  Float-identical to
+        # the recomputing form.
+        it, x, r, rel, rho, _ = c
         e = cycle(lv1, dense, r)
         x_new = x + e
-        res = jnp.linalg.norm(b - mv0(lv1, x_new))
+        r_new = b - mv0(lv1, x_new)
+        res = jnp.linalg.norm(r_new)
         # NaN guard (the reference's commented check, Class_AMG.m:79-81):
         # a non-finite cycle result is treated as divergence — revert and
         # stop rather than poisoning the Newton step.  A residual-GROWING
@@ -764,16 +910,17 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
         bad = jnp.logical_not(jnp.isfinite(res))
         grew = jnp.logical_or(bad, res > jnp.linalg.norm(r))
         x_new = jnp.where(grew, x, x_new)
+        r_new = jnp.where(grew, r, r_new)
         rel_new = jnp.where(grew, rel, res / safe0)
         rho_new = jnp.where(bad, 2.0, res / jnp.linalg.norm(r))
         it = it + 1
         done = jnp.logical_or(rel_new <= retol_eff, it >= opts.maxit)
         done = jnp.logical_or(done, rho_new > 1.0)
-        return it, x_new, rel_new, rho_new, done
+        return it, x_new, r_new, rel_new, rho_new, done
 
-    init = (jnp.int32(0), guess, jnp.asarray(1.0, b.dtype),
+    init = (jnp.int32(0), guess, r0, jnp.asarray(1.0, b.dtype),
             jnp.asarray(0.0, b.dtype), res0 == 0)
-    it, x, rel, rho, _ = lax.while_loop(cond, body, init)
+    it, x, r, rel, rho, _ = lax.while_loop(cond, body, init)
     return AMGSolveResult(x, it, rel)
 
 

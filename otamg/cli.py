@@ -37,12 +37,12 @@ def _common(sub):
     sub.add_argument("--driver", default="loop",
                      choices=["loop", "chunked", "fused"],
                      help="loop: one host dispatch per APD iteration "
-                          "(logging/checkpoint; fastest on TPU — measured "
-                          "2.6x faster than chunked on the real chip); "
-                          "chunked: N iterations per dispatch (TPU-"
-                          "validated, trajectory-identical, slower); "
-                          "fused: whole solve in one program (known to "
-                          "fault the axon TPU worker — see CLAUDE.md)")
+                          "(logging/checkpoint; fastest on TPU — 11.1 s "
+                          "vs chunked 45 s / fused 52 s at 500^2, round "
+                          "4 measurements); chunked: N iterations per "
+                          "dispatch (trajectory-identical); fused: whole "
+                          "solve in one program (TPU-validated round 4 "
+                          "after the eigensolve coarse redesign)")
     sub.add_argument("--chunk", type=int, default=8,
                      help="iterations per dispatch for --driver chunked")
     sub.add_argument("--log", help="JSONL per-iteration record path")

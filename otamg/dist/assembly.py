@@ -135,6 +135,12 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     remapped to the padding column before grouping — they contribute
     nothing to the operator, and counting them as distinct groups would
     let them displace real entries under a tight ``out_cap``.
+
+    Returns ``(out_cols, out_vals, ngroups_max)`` — the third value is the
+    distinct-column count of the WORST row (including the padding group).
+    ``ngroups_max > out_cap`` means real merged entries were dropped and
+    the compacted operator is silently wrong: callers must surface it
+    (``spgemm_rowsharded`` propagates it as its overflow indicator).
     """
     cols = jnp.where(vals == 0, 0, cols)
     order = jnp.argsort(cols, axis=1)
@@ -143,6 +149,7 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     is_new = jnp.concatenate(
         [jnp.ones_like(cs[:, :1], bool), cs[:, 1:] != cs[:, :-1]], axis=1)
     gid = jnp.cumsum(is_new, axis=1) - 1
+    ngroups_max = jnp.max(gid[:, -1]) + 1
     R = cols.shape[0]
     rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
                             gid.shape)
@@ -150,7 +157,7 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     out_v = jnp.zeros((R, out_cap), vals.dtype)
     out_c = out_c.at[rows, gid].set(cs, mode="drop")
     out_v = out_v.at[rows, gid].add(vs, mode="drop")
-    return out_c, out_v
+    return out_c, out_v, ngroups_max
 
 
 def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
@@ -172,6 +179,14 @@ def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
     columns locally (per shard, no communication) after the expansion —
     without it, chained products (the Galerkin ``P^T A P`` chain,
     ``transfer.m:66``) grow capacity as ``rcA * rcB`` per hop.
+
+    Returns ``(cols, vals, cap_needed)``: ``cap_needed`` is the replicated
+    worst-row distinct-column count across all shards.  With ``out_cap``
+    set, ``cap_needed > out_cap`` flags CAPACITY TRUNCATION — real merged
+    entries were dropped and the product is wrong; callers must check
+    (a silently undersized cap in a chained Galerkin product otherwise
+    changes the assembled coarse operator).  Without ``out_cap`` it is the
+    exact capacity a following compaction would need.
     """
 
     def local(acols, avals):
@@ -180,11 +195,19 @@ def spgemm_rowsharded(mesh: Mesh, a_ell_cols, a_ell_vals, b_ell_cols,
         Rr = acols.shape[0]
         bc, bv = bc.reshape(Rr, -1), bv.reshape(Rr, -1)
         if out_cap is not None and out_cap < bc.shape[1]:
-            bc, bv = ell_row_sum_duplicates(bc, bv, out_cap)
-        return bc, bv
+            bc, bv, need = ell_row_sum_duplicates(bc, bv, out_cap)
+        else:
+            # Exact need = distinct columns of the worst expanded row.
+            c0 = jnp.where(bv == 0, 0, bc)
+            cs = jnp.sort(c0, axis=1)
+            need = jnp.max(jnp.sum(
+                jnp.concatenate([jnp.ones_like(cs[:, :1], bool),
+                                 cs[:, 1:] != cs[:, :-1]], axis=1)
+                .astype(jnp.int32), axis=1))
+        return bc, bv, lax.pmax(need, axis_name)
 
     return shard_map(
         local, mesh=mesh,
         in_specs=(P(axis_name, None), P(axis_name, None)),
-        out_specs=(P(axis_name, None), P(axis_name, None)))(
+        out_specs=(P(axis_name, None), P(axis_name, None), P()))(
             a_ell_cols, a_ell_vals)

@@ -145,15 +145,30 @@ def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
     raise ValueError(f"unknown inner solver {opts.inner_solver}")
 
 
+def _is_capacitated(gama) -> bool:
+    """Concrete ``any(isfinite(gama))`` that works on multi-process global
+    arrays too (eager numpy on a non-addressable array is rejected; a jit
+    with the array as ARGUMENT returns a replicated scalar)."""
+    if np.ndim(gama) == 0:
+        return bool(np.isfinite(jax.device_get(jnp.asarray(gama))))
+    return bool(jax.jit(lambda g: jnp.any(jnp.isfinite(g)))(gama))
+
+
 def make_class1_step(prob: Class1Problem, opts: APDOptions,
                      solver: NewtonSolver | None = None,
                      capacitated: bool | None = None,
                      fused: bool = False):
     """Build the jitted APD outer step ``(k, X, V, lam, bk, key,
-    resk_prev) -> (X, V, lam, bk, key, metrics)``."""
-    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
-    b = prob.b
-    dtype = C.dtype
+    resk_prev, kkt_norm0, prob) -> (X, V, lam, bk, key, metrics)``.
+
+    The problem is a pytree ARGUMENT of the step (not a closure
+    constant): jit closures over arrays spanning non-addressable devices
+    are rejected in multi-process runs, while arguments shard cleanly.
+    ``prob`` here is only read for static metadata (shapes, dtype,
+    capacitated-ness); with ``solver=None`` the Newton solver is built
+    from the traced ``p``/``q`` inside the step.
+    """
+    dtype = prob.C.dtype
     # Mixed precision (SURVEY.md hard part (f)): when the plan is stored
     # in fp32 (TPU), the dual-space state and every O(mn) *reduction*
     # (operator applications into the dual, merit dots, KKT norms) are
@@ -162,17 +177,16 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
-    b_hi = b.astype(hi)
-    if solver is None:
-        solver = make_solver_from_options(p, q, opts)
     if capacitated is None:
-        capacitated = bool(np.any(np.isfinite(np.asarray(prob.gama))))
+        capacitated = _is_capacitated(prob.gama)
     nm = prob.n + prob.m
-    zeros_t = jnp.zeros(nm, dtype)
+    user_solver = solver
 
-    def ssn_solve(Wk, wlk, lam0, bk1, tk, ssn_tol, key):
+    def ssn_solve(p, q, gama, solver, Wk, wlk, lam0, bk1, tk, ssn_tol,
+                  key):
         """The SsN while-loop (``Class1/APD_SsN_Class1.m:137-238``).
         ``lam0``/``wlk`` are hi-precision; Z-space arrays stay lo."""
+        zeros_t = jnp.zeros(nm, dtype)
 
         def F_of(lam, Zk):
             return (bk1 * lam
@@ -267,8 +281,13 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
             else opts.pcg.maxit)
         return lax.while_loop(cond, body, init)
 
-    def outer_step(k, X, V, lam, bk, key, resk_prev, kkt_norm0):
+    def outer_step(k, X, V, lam, bk, key, resk_prev, kkt_norm0, pr):
         """One APD iteration (``Class1/APD_SsN_Class1.m:101-275``)."""
+        p, q, C, gama = pr.p, pr.q, pr.C, pr.gama
+        b = pr.b
+        b_hi = b.astype(hi)
+        solver = (user_solver if user_solver is not None
+                  else make_solver_from_options(p, q, opts))
         kf = k.astype(dtype)
         ak = jnp.sqrt(kf ** 2 * bk)
         bk1 = bk / (1 + ak)
@@ -279,8 +298,8 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
                       / bk) - b_hi)
 
         key, sub = jax.random.split(key)
-        ssn = ssn_solve(Wk, wlk, lam.astype(hi), bk1.astype(hi), tk,
-                        ssn_tol, sub)
+        ssn = ssn_solve(p, q, gama, solver, Wk, wlk, lam.astype(hi),
+                        bk1.astype(hi), tk, ssn_tol, sub)
 
         lam1 = ssn.lam
         X1 = op.prox_box(ssn.Zk, gama)
@@ -326,26 +345,30 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     relative KKT tolerance (``KKT_Tol = 1e-6``,
     ``Class1/APD_SsN_Class1.m:35,264-268``)."""
     t0 = time.perf_counter()
-    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
-    b = prob.b
-    dtype = C.dtype
-
-    if solver is None:
-        solver = make_solver_from_options(p, q, opts)
+    dtype = prob.C.dtype
 
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
 
+    # Prologue under jit with ``prob`` as ARGUMENT (multi-process safe:
+    # eager ops / closures over global arrays are rejected, see
+    # make_class1_step).
+    @jax.jit
+    def _init(pr, X, lam):
+        lam = lam.astype(hi)
+        kx0, kl0 = op.kkt_class1(X, lam, pr.C, pr.b, pr.p, pr.q, pr.gama,
+                                 acc)
+        return X, lam, kx0, kl0, op.vdot_hi(pr.C, X)
+
     if warm is None:
-        ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()
+        ws = jax.jit(warmup_class1, static_argnums=1)(
+            prob, opts.warmup.maxit)
         X, lam = ws.X, ws.lam
     else:
         X, lam = warm
-    lam = lam.astype(hi)
+    X, lam, kx0, kl0, fx0 = _init(prob, X, lam)
     V = X
-
-    kx0, kl0 = op.kkt_class1(X, lam, C, b, p, q, gama, acc)
     kx0 = float(kx0)
     kl0 = float(kl0)
     kkt_norm0 = jnp.asarray([kx0, kl0], dtype)
@@ -364,7 +387,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
 
     kkt_x = [kx0]
     kkt_l = [kl0]
-    fxk = [float(op.vdot_hi(C, X))]
+    fxk = [float(fx0)]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -411,7 +434,7 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
         prev_state = (X, V, lam, bk, key)
         X, V, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_dev,
-            kkt_norm0)
+            kkt_norm0, prob)
         resk_dev = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
         if pending is not None:
             kp, mtr_p = pending
@@ -468,25 +491,26 @@ def solve_class1_chunked(prob: Class1Problem,
     residual ``resk``) at every chunk boundary; ``resume=True`` restores
     the latest one and continues with an exactly-identical trajectory."""
     t0 = time.perf_counter()
-    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
-    if solver is None:
-        solver = make_solver_from_options(p, q, opts)
+
+    @jax.jit
+    def _init(pr, X, lam):
+        lam = lam.astype(hi)
+        kx0, kl0 = op.kkt_class1(X, lam, pr.C, pr.b, pr.p, pr.q, pr.gama,
+                                 acc)
+        return X, lam, kx0, kl0, op.vdot_hi(pr.C, X)
 
     if warm is None:
-        ws = jax.jit(lambda: warmup_class1(prob, opts.warmup.maxit))()
+        ws = jax.jit(warmup_class1, static_argnums=1)(
+            prob, opts.warmup.maxit)
         X, lam = ws.X, ws.lam
     else:
         X, lam = warm
-    lam = lam.astype(hi)
+    X, lam, kx0, kl0, fx0 = _init(prob, X, lam)
     V = X
-
-    kx0, kl0 = jax.jit(
-        lambda X, lam: op.kkt_class1(X, lam, C, b, p, q, gama, acc))(X, lam)
     kx0 = float(kx0)
     kl0 = float(kl0)
     kkt_norm0 = jnp.asarray([kx0, kl0], dtype)
@@ -496,7 +520,7 @@ def solve_class1_chunked(prob: Class1Problem,
     kkt_tol = opts.kkt_tol
 
     @jax.jit
-    def run_chunk(k0, X, V, lam, bk, key, resk_prev):
+    def run_chunk(k0, X, V, lam, bk, key, resk_prev, pr):
         recs0 = {
             "kkt_x": jnp.zeros(chunk, hi), "kkt_l": jnp.zeros(chunk, hi),
             "fxk": jnp.zeros(chunk, hi),
@@ -519,7 +543,7 @@ def solve_class1_chunked(prob: Class1Problem,
         def body(c):
             i, k, X, V, lam, bk, key, resk, conv, recs = c
             X1, V1, lam1, bk1, key, mtr = step(
-                k, X, V, lam, bk, key, resk, kkt_norm0)
+                k, X, V, lam, bk, key, resk, kkt_norm0, pr)
             rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
             conv = rr <= kkt_tol
             resk1 = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
@@ -560,7 +584,7 @@ def solve_class1_chunked(prob: Class1Problem,
             k = d["k"] + 1
     kkt_x = [kx0]
     kkt_l = [kl0]
-    fxk = [float(op.vdot_hi(C, X))]
+    fxk = [float(fx0)]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -568,7 +592,7 @@ def solve_class1_chunked(prob: Class1Problem,
     converged = False
     while k <= maxit and not converged:
         i, k_dev, X, V, lam, bk, key, resk, conv, recs = run_chunk(
-            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk)
+            jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk, prob)
         done = int(i)
         converged = bool(conv)
         recs = jax.device_get(recs)
@@ -618,9 +642,7 @@ def solve_class1_fused(prob: Class1Problem,
     solve (the TPU-native serving path; the Python-loop driver remains for
     logging/checkpoint workflows)."""
     t0 = time.perf_counter()
-    p, q, C, gama = prob.p, prob.q, prob.C, prob.gama
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
@@ -628,9 +650,11 @@ def solve_class1_fused(prob: Class1Problem,
     maxit = opts.maxit
 
     @jax.jit
-    def run(key):
+    def run(key, pr):
+        p, q, C, gama = pr.p, pr.q, pr.C, pr.gama
+        b = pr.b
         if warm is None:
-            ws = warmup_class1(prob, opts.warmup.maxit)
+            ws = warmup_class1(pr, opts.warmup.maxit)
             X, lam = ws.X, ws.lam
         else:
             X, lam = warm
@@ -657,7 +681,7 @@ def solve_class1_fused(prob: Class1Problem,
              rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
              rec_restart) = c
             X1, V1, lam1, bk1, key, mtr = step(
-                k, X, V, lam, bk, key, resk, kkt_norm0)
+                k, X, V, lam, bk, key, resk, kkt_norm0, pr)
             rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
             done = jnp.logical_or(rr <= opts.kkt_tol, k >= maxit)
             resk1 = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
@@ -684,7 +708,7 @@ def solve_class1_fused(prob: Class1Problem,
                 rec_imax, rec_isum, rec_restart)
 
     (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
-     rec_isum, rec_restart) = run(jax.random.PRNGKey(opts.seed))
+     rec_isum, rec_restart) = run(jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kx = np.asarray(rec_kx)[: iters + 1]
     kl = np.asarray(rec_kl)[: iters + 1]

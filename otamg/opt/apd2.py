@@ -149,10 +149,11 @@ def _make_arrow_pcg_solver(p, q, Phi, opts: APDOptions) -> NewtonSolver:
 def make_class2_step(prob: Class2Problem, opts: APDOptions,
                      solver: NewtonSolver | None = None,
                      fused: bool = False):
-    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
+    """Build the jitted Class-2 APD outer step; the problem is a pytree
+    ARGUMENT of the step (multi-process safe — see
+    :func:`otamg.opt.apd.make_class1_step`)."""
     m, n = prob.m, prob.n
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
     # Mixed precision, mirroring :func:`otamg.opt.apd.make_class1_step`
     # (SURVEY.md hard part (f)): with fp32 storage the dual-space state and
     # every O(mn) reduction (H applications into the dual, merit dots, KKT
@@ -160,17 +161,13 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
-    b_hi = b.astype(hi)
-    if solver is None:
-        solver = make_pot_solver_from_options(p, q, Phi, opts)
+    user_solver = solver
     solver_maxit = jnp.int32(
         opts.amg.maxit if opts.inner_solver in
         (InnerSolver.AMG, InnerSolver.TWOGRID) else opts.pcg.maxit)
 
-    def Hu(X, us, out_dtype=None):
-        return op.apply_H(X, us[:n], us[n:], p, q, Phi, out_dtype)
-
-    def ssn_solve(WX, ws, wlk, lam0, bk1, tk, ssn_tol, key, tail):
+    def ssn_solve(p, q, Phi, solver, WX, ws, wlk, lam0, bk1, tk, ssn_tol,
+                  key, tail):
         """SsN loop (``Class2/APD_SsN_Class2.m:136-243``).
         ``lam0``/``wlk``/``bk1`` are hi-precision; z-space arrays stay
         lo-precision.
@@ -183,6 +180,9 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
         residual.  (A FULL lambda freeze was tried and diverges — the
         feasibility residual decays through the lambda updates, not the
         bk-telescoping alone — so only this mild hysteresis remains.)"""
+
+        def Hu(X, us, out_dtype=None):
+            return op.apply_H(X, us[:n], us[n:], p, q, Phi, out_dtype)
 
         def z_of(lam):
             HtX, Hts = op.apply_Ht(lam.astype(dtype), p, q, Phi)
@@ -290,7 +290,17 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
         return lax.while_loop(cond, body, init)
 
-    def outer_step(k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev_kkt):
+    def outer_step(k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev_kkt,
+                   pr):
+        p, q, C, Phi = pr.p, pr.q, pr.C, pr.Phi
+        b = pr.b
+        b_hi = b.astype(hi)
+        solver = (user_solver if user_solver is not None
+                  else make_pot_solver_from_options(p, q, Phi, opts))
+
+        def Hu(X, us, out_dtype=None):
+            return op.apply_H(X, us[:n], us[n:], p, q, Phi, out_dtype)
+
         resk_prev = jnp.max(prev_kkt)  # reference's raw `resk` (see :96)
         kf = k.astype(dtype)
         ak = jnp.sqrt(kf ** 2 * bk)
@@ -309,8 +319,8 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
                                prev_rel[3] > opts.kkt_tol)
 
         key, sub = jax.random.split(key)
-        ssn = ssn_solve(WX, ws, wlk, lam.astype(hi), bk1.astype(hi), tk,
-                        ssn_tol, sub, tail)
+        ssn = ssn_solve(p, q, Phi, solver, WX, ws, wlk, lam.astype(hi),
+                        bk1.astype(hi), tk, ssn_tol, sub, tail)
 
         lam1 = ssn.lam
         X1 = op.prox_nonneg(ssn.ZX)
@@ -359,27 +369,32 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     if opts is None:
         opts = default_class2_options()
     t0 = time.perf_counter()
-    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
 
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
-    ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
-    X, lam = ws.X, ws.lam.astype(hi)
-    us = jnp.concatenate([ws.y, ws.z])
-    VX, vs = X, us
 
-    k0 = op.kkt_class2(X, us[:n], us[n:], lam, C, b, p, q, Phi, acc)
-    kkt0 = np.asarray([float(v) for v in k0])
+    # Prologue under jit with ``prob`` as ARGUMENT (multi-process safe).
+    @jax.jit
+    def _init(pr):
+        ws = warmup_class2(pr, opts.warmup.maxit)
+        X, lam = ws.X, ws.lam.astype(hi)
+        us = jnp.concatenate([ws.y, ws.z])
+        k0 = op.kkt_class2(X, us[:n], us[n:], lam, pr.C, pr.b, pr.p, pr.q,
+                           pr.Phi, acc)
+        return X, us, lam, jnp.stack(k0), op.vdot_hi(pr.C, X)
+
+    X, us, lam, k0, fx0 = _init(prob)
+    VX, vs = X, us
+    kkt0 = np.asarray(jax.device_get(k0), np.float64)
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
     step = make_class2_step(prob, opts, solver)
 
     @jax.jit
-    def _polish(X, us, lam):
+    def _polish(X, us, lam, pr):
         """Feasibility polish + honest re-measurement (tail safeguard;
         see operators.feasibility_polish).  Accepted only if the FULL
         polished KKT meets the tolerance.
@@ -387,6 +402,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         The rounding is dual-aware (saturated rows/columns filled
         exactly); a dual clip was tried and rejected — zeroing noise
         duals injects their magnitude into kkt_x through G^T lam."""
+        p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
         Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
                                            lam=lam.astype(X.dtype))
         usp = jnp.concatenate([yp, zp])
@@ -407,7 +423,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
             k_start = d["k"] + 1
 
     kkt_hist = [kkt0]
-    fxk = [float(op.vdot_hi(C, X))]
+    fxk = [float(fx0)]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -459,7 +475,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
             # Complementarity at target, feasibility the sole straggler:
             # try the projection polish; accept only on full convergence.
             Xp, usp, lamp, kkp, fxp = _polish(state[0], state[1],
-                                              state[4])
+                                              state[4], prob)
             kkp = np.asarray(kkp)
             if verbose:
                 print(f"POLISH it={kp} kkt={kkp[0]:.2e}/{kkp[1]:.2e}/"
@@ -480,7 +496,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         prev_state = (X, us, VX, vs, lam, bk, key)
         X, us, VX, vs, lam, bk, key, mtr = step(
             jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key,
-            kkt_norm0, prev_dev)
+            kkt_norm0, prev_dev, prob)
         prev_dev = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z,
                               mtr.kkt_l]).astype(dtype)
         if pending is not None:
@@ -512,6 +528,43 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
         polished=polished)
 
 
+def _polish_final(prob: Class2Problem, opts: APDOptions, acc,
+                  X, us, lam, kkt0: np.ndarray):
+    """Exit-time feasibility polish for the chunked/fused drivers.
+
+    The loop driver polishes inline (it sees per-iteration residuals);
+    the on-device drivers only need the FINAL state: when the run ends
+    unconverged with all three complementarity residuals at target and
+    only ``kkt_l`` stalled, apply :func:`operators.feasibility_polish`
+    and accept only if the honestly re-measured FULL KKT passes.
+    Returns ``(X, us, kk, fx, accepted)``."""
+    n = prob.n
+
+    @jax.jit
+    def go(X, us, lam, pr):
+        p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
+        Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
+                                           lam=lam.astype(X.dtype))
+        usp = jnp.concatenate([yp, zp])
+        k = op.kkt_class2(Xp, yp, zp, lam, C, b, p, q, Phi, acc)
+        fx = op.vdot_hi(C, Xp, acc)
+        return Xp, usp, jnp.stack(k), fx
+
+    Xp, usp, kkp, fxp = go(X, us, lam, prob)
+    kkp = np.asarray(jax.device_get(kkp))
+    ok = bool((kkp / (1 + kkt0)).max() <= opts.kkt_tol)
+    return Xp, usp, kkp, float(fxp), ok
+
+
+def _polish_applicable(opts: APDOptions, kk: np.ndarray,
+                       kkt0: np.ndarray) -> bool:
+    """Polish precondition: unconverged, complementarity (x/y/z) at
+    target, feasibility (lam) the sole straggler."""
+    rr = (kk / (1 + kkt0)).max()
+    return bool(opts.feas_polish and rr > opts.kkt_tol
+                and (kk[:3] / (1 + kkt0[:3])).max() <= opts.kkt_tol)
+
+
 def solve_class2_chunked(prob: Class2Problem,
                          opts: APDOptions | None = None,
                          solver: NewtonSolver | None = None,
@@ -527,22 +580,25 @@ def solve_class2_chunked(prob: Class2Problem,
     if opts is None:
         opts = default_class2_options()
     t0 = time.perf_counter()
-    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
 
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
-    ws = jax.jit(lambda: warmup_class2(prob, opts.warmup.maxit))()
-    X, lam = ws.X, ws.lam.astype(hi)
-    us = jnp.concatenate([ws.y, ws.z])
-    VX, vs = X, us
 
-    k0 = jax.jit(lambda X, us, lam: op.kkt_class2(
-        X, us[:n], us[n:], lam, C, b, p, q, Phi, acc))(X, us, lam)
-    kkt0 = np.asarray([float(v) for v in k0])
+    @jax.jit
+    def _init(pr):
+        ws = warmup_class2(pr, opts.warmup.maxit)
+        X, lam = ws.X, ws.lam.astype(hi)
+        us = jnp.concatenate([ws.y, ws.z])
+        k0 = op.kkt_class2(X, us[:n], us[n:], lam, pr.C, pr.b, pr.p, pr.q,
+                           pr.Phi, acc)
+        return X, us, lam, jnp.stack(k0), op.vdot_hi(pr.C, X)
+
+    X, us, lam, k0, fx0 = _init(prob)
+    VX, vs = X, us
+    kkt0 = np.asarray(jax.device_get(k0), np.float64)
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
     step = make_class2_step(prob, opts, solver, fused=True)
@@ -550,7 +606,7 @@ def solve_class2_chunked(prob: Class2Problem,
     kkt_tol = opts.kkt_tol
 
     @jax.jit
-    def run_chunk(k0_, X, us, VX, vs, lam, bk, key, prev0):
+    def run_chunk(k0_, X, us, VX, vs, lam, bk, key, prev0, pr):
         recs0 = {
             "kkt": jnp.zeros((chunk, 4), dtype),
             "fxk": jnp.zeros(chunk, dtype),
@@ -573,7 +629,7 @@ def solve_class2_chunked(prob: Class2Problem,
         def body(c):
             i, k, X, us, VX, vs, lam, bk, key, prev, conv, recs = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
-                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev)
+                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev, pr)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
             conv = jnp.max(kk / (1 + kkt_norm0)) <= kkt_tol
             recs = {
@@ -612,7 +668,7 @@ def solve_class2_chunked(prob: Class2Problem,
             prev = d["prev_kkt"].astype(dtype)
             k = d["k"] + 1
     kkt_hist = [kkt0]
-    fxk = [float(op.vdot_hi(C, X))]
+    fxk = [float(fx0)]
     ssn_itnum, solver_itnum, restarts = [], [], []
     info_ncomp, info_last = [], []
     fail_total = 0
@@ -620,7 +676,8 @@ def solve_class2_chunked(prob: Class2Problem,
     converged = False
     while k <= maxit and not converged:
         (i, X, us, VX, vs, lam, bk, key, prev, conv, recs) = run_chunk(
-            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, prev)
+            jnp.asarray(k, jnp.int32), X, us, VX, vs, lam, bk, key, prev,
+            prob)
         done = int(i)
         converged = bool(conv)
         recs = jax.device_get(recs)
@@ -650,6 +707,17 @@ def solve_class2_chunked(prob: Class2Problem,
                            dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
                                 bk=bk, key=key, prev_kkt=prev))
 
+    polished = False
+    if (not converged and len(kkt_hist) > 1
+            and _polish_applicable(opts, np.asarray(kkt_hist[-1]), kkt0)):
+        Xp, usp, kkp, fxp, ok = _polish_final(prob, opts, acc, X, us, lam,
+                                              kkt0)
+        if ok:
+            X, us = Xp, usp
+            kkt_hist[-1] = kkp
+            fxk[-1] = fxp
+            converged = polished = True
+
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam, converged=converged,
         iters=k - 1, kkt=np.asarray(kkt_hist), fxk=np.asarray(fxk),
@@ -657,7 +725,8 @@ def solve_class2_chunked(prob: Class2Problem,
         solver_itnum=np.asarray(solver_itnum).reshape(-1, 3),
         restarts=np.asarray(restarts), fail_count=fail_total,
         wall_time=time.perf_counter() - t0, inner_total=inner_total,
-        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last))
+        info_ncomp=np.asarray(info_ncomp), info_last=np.asarray(info_last),
+        polished=polished)
 
 
 def solve_class2_fused(prob: Class2Problem,
@@ -668,10 +737,8 @@ def solve_class2_fused(prob: Class2Problem,
     if opts is None:
         opts = default_class2_options()
     t0 = time.perf_counter()
-    p, q, C, Phi = prob.p, prob.q, prob.C, prob.Phi
     m, n = prob.m, prob.n
-    b = prob.b
-    dtype = C.dtype
+    dtype = prob.C.dtype
     step = make_class2_step(prob, opts, solver, fused=True)
     maxit = opts.maxit
 
@@ -680,8 +747,9 @@ def solve_class2_fused(prob: Class2Problem,
     acc = hi if hi != dtype else None
 
     @jax.jit
-    def run(key):
-        ws = warmup_class2(prob, opts.warmup.maxit)
+    def run(key, pr):
+        p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
+        ws = warmup_class2(pr, opts.warmup.maxit)
         X = ws.X
         us = jnp.concatenate([ws.y, ws.z])
         lam = ws.lam.astype(hi)
@@ -704,7 +772,7 @@ def solve_class2_fused(prob: Class2Problem,
              rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
              rec_restart) = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
-                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev)
+                k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev, pr)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
             rr = jnp.max(kk / (1 + kkt_norm0))
             done = jnp.logical_or(rr <= opts.kkt_tol, k >= maxit)
@@ -727,17 +795,30 @@ def solve_class2_fused(prob: Class2Problem,
                 rec_imax, rec_isum, rec_restart, kkt_norm0)
 
     (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
-     rec_restart, kkt_norm0) = run(jax.random.PRNGKey(opts.seed))
+     rec_restart, kkt_norm0) = run(jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kkt = np.asarray(rec_kkt)[: iters + 1]
-    rr = (kkt[-1] / (1 + kkt[0])).max()
+    kkt0 = kkt[0]
+    converged = bool((kkt[-1] / (1 + kkt0)).max() <= opts.kkt_tol)
+    fxk = np.asarray(rec_fx)[: iters + 1]
+    polished = False
+    if (not converged and iters >= 1
+            and _polish_applicable(opts, kkt[-1], kkt0)):
+        Xp, usp, kkp, fxp, ok = _polish_final(prob, opts, acc, X, us, lam,
+                                              kkt0)
+        if ok:
+            X, us = Xp, usp
+            kkt[-1] = kkp
+            fxk[-1] = fxp
+            converged = polished = True
     imax = np.asarray(rec_imax)[1: iters + 1]
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam,
-        converged=bool(rr <= opts.kkt_tol), iters=iters, kkt=kkt,
-        fxk=np.asarray(rec_fx)[: iters + 1],
+        converged=converged, iters=iters, kkt=kkt,
+        fxk=fxk,
         ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
         solver_itnum=np.stack([imax, imax, imax], axis=1),
         restarts=np.asarray(rec_restart)[1: iters + 1],
         fail_count=int(fail), wall_time=time.perf_counter() - t0,
-        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()))
+        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()),
+        polished=polished)

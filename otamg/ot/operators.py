@@ -69,13 +69,20 @@ _CHUNK = 2048
 
 
 def sum_chunked(x: jax.Array) -> jax.Array:
-    """Numerically-safe sum of a 1-D array (two-stage chunked reduce)."""
+    """Numerically-safe sum of a 1-D array (recursive chunked reduce).
+
+    Recursion keeps EVERY accumulator at most ``_CHUNK`` long: a two-stage
+    reduce would leave the outer accumulate linear in ``n / _CHUNK``
+    (a 4096^2 plan gives an 8192-term same-sign outer sum, ~3e-10 rel err
+    at the TPU's ~4e-14/step), while the recursive form holds the measured
+    ~2e-15 at every scale.  Depth is ceil(log_2048 n): static, tiny.
+    """
     n = x.shape[0]
     if n <= _CHUNK:
         return jnp.sum(x)
     rows = -(-n // _CHUNK)
     xp = jnp.pad(x, (0, rows * _CHUNK - n)).reshape(rows, _CHUNK)
-    return jnp.sum(jnp.sum(xp, axis=1))
+    return sum_chunked(jnp.sum(xp, axis=1))
 
 
 def vdot_hi(a: jax.Array, b: jax.Array, out_dtype=None) -> jax.Array:
@@ -286,6 +293,23 @@ def feasibility_polish(X: jax.Array, y: jax.Array, z: jax.Array,
             Mu = vdot_hi(Phi * U, X)
             want = mu - (mass - Mu)
             f = jnp.where(Mu > 0, want / jnp.where(Mu > 0, Mu, 1.0), 1.0)
+            # Clamp: f < 0 would write negative plan entries (only the
+            # slacks go through prox_nonneg), and f > fmax would overfill
+            # the unsaturated marginals.  fmax is the tightest remaining
+            # slack ratio over the columns/rows the rescale touches.
+            XU = jnp.where(U, X, 0.0)
+            colU = jnp.matmul(XU.T, p, precision=_P)
+            rowU = jnp.matmul(XU, q, precision=_P)
+            col = jnp.matmul(X.T, p, precision=_P)
+            row = jnp.matmul(X, q, precision=_P)
+            fmax_c = jnp.min(jnp.where(
+                colU > 0, 1.0 + (bl - col) / jnp.where(colU > 0, colU, 1.0),
+                jnp.inf))
+            fmax_r = jnp.min(jnp.where(
+                rowU > 0, 1.0 + (bm - row) / jnp.where(rowU > 0, rowU, 1.0),
+                jnp.inf))
+            fmax = jnp.maximum(jnp.minimum(fmax_c, fmax_r), 1.0)
+            f = jnp.clip(f, 0.0, fmax)
             X = jnp.where(U, X * f, X)
         else:
             # 2b. generic mass correction: a deficit is ADDED along the
@@ -303,6 +327,18 @@ def feasibility_polish(X: jax.Array, y: jax.Array, z: jax.Array,
             add = jnp.where(denom > 0,
                             deficit / jnp.where(denom > 0, denom, 1.0),
                             0.0)
+            # Cap so the addition cannot overfill a marginal (the loop can
+            # end on this step): column j gains add*cs_j*sum(rs) <= cs_j
+            # -> add <= 1/sum(rs); row i gains add*(rs_i/p_i)*(q.cs)
+            # <= rs_i -> add <= min(p)/(q.cs).
+            srs = sum_chunked(rs)
+            qcs = jnp.vdot(q, cs)
+            cap = jnp.minimum(
+                jnp.where(srs > 0, 1.0 / jnp.where(srs > 0, srs, 1.0),
+                          jnp.inf),
+                jnp.where(qcs > 0, jnp.min(p) / jnp.where(qcs > 0, qcs, 1.0),
+                          jnp.inf))
+            add = jnp.minimum(add, cap)
             scale = jnp.where(mass > 0,
                               mu / jnp.where(mass > 0, mass, 1.0), 1.0)
             X = jnp.where(deficit >= 0, X + add * D, X * scale)

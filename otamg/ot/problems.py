@@ -57,6 +57,15 @@ class Class1Problem:
                              gama=cast(self.gama))
 
 
+# Problems are jit-traceable pytrees so the solvers can take them as
+# ARGUMENTS instead of closing over them — required for multi-process
+# execution (jit closures over non-addressable global arrays are
+# rejected; passing them as args is the supported path).
+def _register_problem(cls, fields):
+    jax.tree_util.register_dataclass(cls, data_fields=list(fields),
+                                     meta_fields=[])
+
+
 @dataclasses.dataclass(frozen=True)
 class Class2Problem:
     """Partial OT: ``min <c,x> s.t. G x + IY y + IZ z = b, x,y,z >= 0``
@@ -88,6 +97,10 @@ class Class2Problem:
         return Class2Problem(C=cast(self.C), r=cast(self.r), l=cast(self.l),
                              p=cast(self.p), q=cast(self.q),
                              Phi=cast(self.Phi), mu=cast(self.mu))
+
+
+_register_problem(Class1Problem, ("C", "r", "l", "p", "q", "gama"))
+_register_problem(Class2Problem, ("C", "r", "l", "p", "q", "Phi", "mu"))
 
 
 def _unvec(x: np.ndarray, m: int, n: int) -> np.ndarray:

@@ -88,6 +88,10 @@ def ell_spmv(ell_cols: jax.Array, ell_vals: jax.Array, x: jax.Array,
     through once (the roofline traffic)."""
     nr, cap = ell_cols.shape
     n = x.shape[0]
+    if jax.default_backend() == "cpu" and not interpret:
+        # Mosaic compiles for TPU only; CPU callers get the XLA oracle
+        # (or pass interpret=True explicitly for kernel debugging).
+        return ell_spmv_xla(ell_cols, ell_vals, x)
     if cap >= n:  # denser than ELL pays for
         return ell_spmv_xla(ell_cols, ell_vals, x)
     if jnp.dtype(ell_vals.dtype).itemsize == 8 or \

@@ -180,8 +180,11 @@ def test_spgemm_rowsharded_matches_dense(mesh):
     B = rng.standard_normal((N, N)) * (rng.uniform(size=(N, N)) < 0.1)
     ca = CSR.from_dense(jnp.asarray(A), row_cap=16)
     cb = CSR.from_dense(jnp.asarray(B), row_cap=16)
-    cc, cv = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
-                               cb.ell_cols, cb.ell_vals)
+    cc, cv, need = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
+                                     cb.ell_cols, cb.ell_vals)
+    # Uncapped: `need` is the exact capacity a compaction would require —
+    # at least the true worst-row nnz (plus possibly the padding group).
+    assert int(need) >= int(np.max(((A @ B) != 0).sum(axis=1)))
     dense = np.zeros((N, N))
     rows = np.broadcast_to(np.arange(N)[:, None], cc.shape)
     np.add.at(dense, (rows.ravel(), np.asarray(cc).ravel()),
@@ -207,15 +210,38 @@ def test_spgemm_rowsharded_compaction_chain(mesh):
     true_cap = int(np.max((A3 != 0).sum(axis=1)))
     out_cap = max(2 * true_cap, 2 * int(np.max((A2 != 0).sum(axis=1))))
 
-    cc, cv = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
-                               ca.ell_cols, ca.ell_vals, out_cap=out_cap)
+    cc, cv, need = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
+                                     ca.ell_cols, ca.ell_vals,
+                                     out_cap=out_cap)
     assert cc.shape[1] <= out_cap < 16 * 16
-    cc2, cv2 = spgemm_rowsharded(mesh, cc, cv, ca.ell_cols, ca.ell_vals,
-                                 out_cap=out_cap)
+    assert int(need) <= out_cap  # no truncation at this capacity
+    cc2, cv2, need2 = spgemm_rowsharded(mesh, cc, cv, ca.ell_cols,
+                                        ca.ell_vals, out_cap=out_cap)
     assert cc2.shape[1] <= out_cap
+    assert int(need2) <= out_cap
 
     dense = np.zeros((N, N))
     rows = np.broadcast_to(np.arange(N)[:, None], cc2.shape)
     np.add.at(dense, (rows.ravel(), np.asarray(cc2).ravel()),
               np.asarray(cv2).ravel())
     np.testing.assert_allclose(dense, A3, rtol=1e-11, atol=1e-11)
+
+
+def test_spgemm_rowsharded_overflow_flagged(mesh):
+    """A too-tight ``out_cap`` must be DETECTED (round-3 advisor item):
+    ``cap_needed > out_cap`` whenever real merged entries were dropped —
+    a silent truncation would hand AMG a wrong coarse operator."""
+    from otamg.dist import spgemm_rowsharded
+    from otamg.sparse import CSR
+
+    rng = np.random.default_rng(13)
+    N = 64
+    A = rng.standard_normal((N, N)) * (rng.uniform(size=(N, N)) < 0.2)
+    ca = CSR.from_dense(jnp.asarray(A), row_cap=24)
+    true_cap = int(np.max(((A @ A) != 0).sum(axis=1)))
+    tight = max(2, true_cap // 2)  # deliberately undersized
+    cc, cv, need = spgemm_rowsharded(mesh, ca.ell_cols, ca.ell_vals,
+                                     ca.ell_cols, ca.ell_vals,
+                                     out_cap=tight)
+    assert int(need) > tight
+    assert int(need) >= true_cap  # and it reports the capacity to retry with

@@ -41,3 +41,42 @@ def test_one_process_cluster_cli_solve():
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "multi-host: process 0/1" in proc.stderr
     assert '"converged": true' in proc.stdout
+
+
+@pytest.mark.slow
+def test_two_process_cluster_cli_solve():
+    """A GENUINE 2-process jax.distributed cluster (2 x 4 CPU devices, 8
+    global) running the row-sharded Class-1 solve: cross-process init,
+    Gloo collectives, and the pass-the-problem-as-jit-argument path the
+    multi-controller model requires (closures over non-addressable
+    arrays are rejected).  Round-3 verdict item 2."""
+    env = dict(
+        os.environ,
+        PALLAS_AXON_POOL_IPS="",
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=4",
+    )
+    cwd = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-m", "otamg.cli", "class1", "--m", "32",
+             "--n", "32", "--shard", "--maxit", "60",
+             "--coordinator", "localhost:49722",
+             "--num-processes", "2", "--process-id", str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+            env=env, cwd=cwd)
+        for i in range(2)
+    ]
+    outs = [p.communicate(timeout=900) for p in procs]
+    for i, (p, (out, err)) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"proc {i}: {err[-2000:]}"
+        assert f"multi-host: process {i}/2" in err
+        assert "8 global / 4 local devices" in err
+        assert '"converged": true' in out
+    # Multi-controller: both processes run the same program and must
+    # agree on the trajectory (same iteration count and objective).
+    import json
+
+    reps = [json.loads(out.strip().splitlines()[-1]) for out, _ in outs]
+    assert reps[0]["iters"] == reps[1]["iters"]
+    assert reps[0]["objective"] == reps[1]["objective"]
