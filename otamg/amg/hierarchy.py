@@ -43,6 +43,12 @@ from otamg.krylov.pcg import pcg
 
 _P = lax.Precision.HIGHEST
 
+# Diagnostic kill-switch: disable the fused (carried-product) bipartite
+# smoother and run the generic recompute-every-sweep path.
+import os as _os
+
+_NO_FUSED_SMOOTH = bool(_os.environ.get("OTAMG_NO_FUSED_SMOOTH"))
+
 
 def _mm(a, b):
     return jnp.matmul(a, b, precision=_P)
@@ -747,7 +753,7 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
 
         def lvl_smooth(l, e, r, transpose, e_is_zero=False):
             if l == 0:
-                if bip0:
+                if bip0 and not _NO_FUSED_SMOOTH:
                     # Fused 2-reads-per-sweep form (see
                     # _projected_smooth_bip); the pre-smooth entry always
                     # starts from a zeroed level.

@@ -21,6 +21,8 @@ the reference's repeated ``Aty`` GEMVs (``Class1/APD_SsN_Class1.m:191,202``).
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 import time
 from typing import Any, Callable, NamedTuple
 
@@ -145,6 +147,34 @@ def make_solver_from_options(p, q, opts: APDOptions) -> NewtonSolver:
     raise ValueError(f"unknown inner solver {opts.inner_solver}")
 
 
+# Program caches.  A jitted program's executable is keyed on the jit
+# WRAPPER object: rebuilding the wrapper per solve call (as each
+# solve_class1 invocation used to) retraces and — through the axon
+# relay, which round 4 measured as not reusing executables across jit
+# instances — fully RECOMPILES every program, making "warm" solves cost
+# cold time (42 s vs the 7.3 s the same trajectory takes on a cached
+# step, scripts/r4_step_seq.py).  Since the multi-process refactor made
+# the problem a step ARGUMENT, the step closes over nothing
+# problem-specific and can be cached by (shapes/dtypes, options).
+_STEP_CACHE: dict = {}
+_warmup1_jit = jax.jit(warmup_class1, static_argnums=1)
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _class1_init_jit(pr, X, lam, hi, acc):
+    """Prologue: cast the warm-start dual, measure KKT0 + objective.
+    One cached program (module-level) with ``prob`` as argument."""
+    lam = lam.astype(hi)
+    kx0, kl0 = op.kkt_class1(X, lam, pr.C, pr.b, pr.p, pr.q, pr.gama, acc)
+    return X, lam, kx0, kl0, op.vdot_hi(pr.C, X)
+
+
+def _abstract_key(prob) -> tuple:
+    return tuple((tuple(getattr(l, "shape", ())), str(getattr(l, "dtype",
+                                                              type(l))))
+                 for l in jax.tree_util.tree_leaves(prob))
+
+
 def _is_capacitated(gama) -> bool:
     """Concrete ``any(isfinite(gama))`` that works on multi-process global
     arrays too (eager numpy on a non-addressable array is rejected; a jit
@@ -179,6 +209,13 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
     acc = hi if hi != dtype else None
     if capacitated is None:
         capacitated = _is_capacitated(prob.gama)
+    cache_key = None
+    if solver is None and not fused:
+        cache_key = ("c1", _abstract_key(prob), opts, capacitated,
+                     str(hi))
+        cached = _STEP_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     nm = prob.n + prob.m
     user_solver = solver
 
@@ -330,7 +367,10 @@ def make_class1_step(prob: Class1Problem, opts: APDOptions,
 
     if fused:
         return outer_step
-    return jax.jit(outer_step)
+    jitted = jax.jit(outer_step)
+    if cache_key is not None:
+        _STEP_CACHE[cache_key] = jitted
+    return jitted
 
 
 def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
@@ -351,23 +391,15 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
 
-    # Prologue under jit with ``prob`` as ARGUMENT (multi-process safe:
-    # eager ops / closures over global arrays are rejected, see
-    # make_class1_step).
-    @jax.jit
-    def _init(pr, X, lam):
-        lam = lam.astype(hi)
-        kx0, kl0 = op.kkt_class1(X, lam, pr.C, pr.b, pr.p, pr.q, pr.gama,
-                                 acc)
-        return X, lam, kx0, kl0, op.vdot_hi(pr.C, X)
-
+    # Prologue via MODULE-LEVEL cached jits with ``prob`` as ARGUMENT
+    # (multi-process safe, and no per-call retrace/recompile — see the
+    # _STEP_CACHE note).
     if warm is None:
-        ws = jax.jit(warmup_class1, static_argnums=1)(
-            prob, opts.warmup.maxit)
+        ws = _warmup1_jit(prob, opts.warmup.maxit)
         X, lam = ws.X, ws.lam
     else:
         X, lam = warm
-    X, lam, kx0, kl0, fx0 = _init(prob, X, lam)
+    X, lam, kx0, kl0, fx0 = _class1_init_jit(prob, X, lam, hi, acc)
     V = X
     kx0 = float(kx0)
     kl0 = float(kl0)
@@ -395,14 +427,16 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     converged = False
     k_final = opts.maxit
 
-    # Software-pipelined metric fetch: the relay round trip is ~23 ms
-    # each way (measured v5e, round 3), and the loop paid it twice per
-    # iteration — once to dispatch, once to device_get the metrics.  The
-    # restart residual `resk` now flows device-to-device (exact same
-    # value, never materialized on host), and iteration k's metrics are
-    # fetched WHILE iteration k+1 executes; the stopping decision lags
-    # one iteration (one extra dispatched step after convergence, whose
-    # result is discarded by restoring the saved converged state).
+    # Metric fetch mode.  Round 3 introduced a software-pipelined fetch
+    # (iteration k's metrics fetched while k+1 executes, stopping lagged
+    # one step) and measured it 2.6 s faster; round 4 measured the
+    # OPPOSITE under the same relay: with two dispatches in flight the
+    # per-step cost inflates ~5x (38 s vs 7.3 s for the full 500^2
+    # trajectory, scripts/r4_step_seq.py — relay queue backpressure),
+    # while the synchronous fetch-every-step loop is bounded at one
+    # ~25 ms round trip per iteration.  Sync is therefore the default;
+    # OTAMG_PIPELINE_FETCH=1 restores the pipelined mode.
+    pipeline = os.environ.get("OTAMG_PIPELINE_FETCH", "0") == "1"
     resk_dev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
 
     def record(mtr_dev):
@@ -436,18 +470,26 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
             jnp.asarray(k, jnp.int32), X, V, lam, bk, key, resk_dev,
             kkt_norm0, prob)
         resk_dev = jnp.maximum(mtr.kkt_x, mtr.kkt_l).astype(dtype)
-        if pending is not None:
-            kp, mtr_p = pending
-            rr = record(mtr_p)
-            report(kp)
+        if not pipeline:
+            rr = record(mtr)
+            report(k)
             if rr <= opts.kkt_tol:
                 converged = True
-                k_final = kp
-                # the state after step kp is what step k consumed
-                X, V, lam, bk, key = prev_state
-                pending = None
+                k_final = k
                 break
-        pending = (k, mtr)
+        else:
+            if pending is not None:
+                kp, mtr_p = pending
+                rr = record(mtr_p)
+                report(kp)
+                if rr <= opts.kkt_tol:
+                    converged = True
+                    k_final = kp
+                    # the state after step kp is what step k consumed
+                    X, V, lam, bk, key = prev_state
+                    pending = None
+                    break
+            pending = (k, mtr)
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
 
@@ -496,20 +538,12 @@ def solve_class1_chunked(prob: Class1Problem,
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
 
-    @jax.jit
-    def _init(pr, X, lam):
-        lam = lam.astype(hi)
-        kx0, kl0 = op.kkt_class1(X, lam, pr.C, pr.b, pr.p, pr.q, pr.gama,
-                                 acc)
-        return X, lam, kx0, kl0, op.vdot_hi(pr.C, X)
-
     if warm is None:
-        ws = jax.jit(warmup_class1, static_argnums=1)(
-            prob, opts.warmup.maxit)
+        ws = _warmup1_jit(prob, opts.warmup.maxit)
         X, lam = ws.X, ws.lam
     else:
         X, lam = warm
-    X, lam, kx0, kl0, fx0 = _init(prob, X, lam)
+    X, lam, kx0, kl0, fx0 = _class1_init_jit(prob, X, lam, hi, acc)
     V = X
     kx0 = float(kx0)
     kl0 = float(kl0)
@@ -668,6 +702,8 @@ def solve_class1_fused(prob: Class1Problem,
         rec_fx = jnp.zeros(maxit + 1, hi).at[0].set(
             op.vdot_hi(C, X, acc))
         rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
+        rec_imin = jnp.full(maxit + 1, -1, jnp.int32)
+        rec_iavg = jnp.full(maxit + 1, -1, jnp.int32)
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
         rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
@@ -678,8 +714,8 @@ def solve_class1_fused(prob: Class1Problem,
 
         def body(c):
             (k, X, V, lam, bk, key, resk, done, fail,
-             rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
-             rec_restart) = c
+             rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg,
+             rec_imax, rec_isum, rec_restart) = c
             X1, V1, lam1, bk1, key, mtr = step(
                 k, X, V, lam, bk, key, resk, kkt_norm0, pr)
             rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
@@ -689,32 +725,36 @@ def solve_class1_fused(prob: Class1Problem,
             rec_kl = rec_kl.at[k].set(mtr.kkt_l.astype(hi))
             rec_fx = rec_fx.at[k].set(mtr.fxk.astype(hi))
             rec_ssn = rec_ssn.at[k].set(mtr.ssn_it)
+            rec_imin = rec_imin.at[k].set(mtr.it_min)
+            rec_iavg = rec_iavg.at[k].set(mtr.it_avg)
             rec_imax = rec_imax.at[k].set(mtr.it_max)
             rec_isum = rec_isum.at[k].set(mtr.it_sum)
             rec_restart = rec_restart.at[k].set(mtr.restarted)
             return (k + 1, X1, V1, lam1, bk1, key, resk1, done,
                     fail + mtr.fail, rec_kx, rec_kl, rec_fx, rec_ssn,
-                    rec_imax, rec_isum, rec_restart)
+                    rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart)
 
         resk0 = jnp.maximum(kx0, kl0).astype(dtype)
         init = (jnp.int32(1), X, V, lam, jnp.asarray(1.0, dtype), key,
                 resk0, jnp.bool_(False), jnp.int32(0),
-                rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
-                rec_restart)
-        (k, X, V, lam, bk, key, resk, done, fail,
-         rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax, rec_isum,
-         rec_restart) = lax.while_loop(cond, body, init)
-        return (k - 1, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn,
+                rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg,
                 rec_imax, rec_isum, rec_restart)
+        (k, X, V, lam, bk, key, resk, done, fail,
+         rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
+         rec_isum, rec_restart) = lax.while_loop(cond, body, init)
+        return (k - 1, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn,
+                rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart)
 
-    (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imax,
-     rec_isum, rec_restart) = run(jax.random.PRNGKey(opts.seed), prob)
+    (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin,
+     rec_iavg, rec_imax, rec_isum, rec_restart) = run(
+        jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kx = np.asarray(rec_kx)[: iters + 1]
     kl = np.asarray(rec_kl)[: iters + 1]
     rr = max(kx[-1] / (1 + kx[0]), kl[-1] / (1 + kl[0]))
-    imax = np.asarray(rec_imax)[1: iters + 1]
-    itnum = np.stack([imax, imax, imax], axis=1)
+    itnum = np.stack([np.asarray(rec_imin)[1: iters + 1],
+                      np.asarray(rec_iavg)[1: iters + 1],
+                      np.asarray(rec_imax)[1: iters + 1]], axis=1)
     return SolveResult(
         X=X, lam=lam, converged=bool(rr <= opts.kkt_tol), iters=iters,
         kkt_x=kx, kkt_l=kl, fxk=np.asarray(rec_fx)[: iters + 1],

@@ -14,6 +14,8 @@ Differences from Class 1, faithfully kept:
 from __future__ import annotations
 
 import dataclasses
+import functools
+import os
 import time
 from typing import Any, NamedTuple
 
@@ -146,6 +148,42 @@ def _make_arrow_pcg_solver(p, q, Phi, opts: APDOptions) -> NewtonSolver:
     return solve
 
 
+# Program caches, as in otamg.opt.apd: rebuilding jit wrappers per
+# solve call costs a full remote recompile on the axon relay (round-4
+# measurement); the step closes over nothing problem-specific, so cache
+# by (shapes/dtypes, options).
+_STEP2_CACHE: dict = {}
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _polish_jit(X, us, lam, n, acc, pr):
+    """Feasibility polish + honest re-measurement (tail safeguard; see
+    operators.feasibility_polish).  Module-level cached program.
+
+    The rounding is dual-aware (saturated rows/columns filled exactly);
+    a dual clip was tried and rejected — zeroing noise duals injects
+    their magnitude into kkt_x through G^T lam."""
+    p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
+    Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
+                                       lam=lam.astype(X.dtype))
+    usp = jnp.concatenate([yp, zp])
+    k = op.kkt_class2(Xp, yp, zp, lam, C, b, p, q, Phi, acc)
+    fx = op.vdot_hi(C, Xp, acc)
+    return Xp, usp, jnp.stack(k), fx
+
+
+@functools.partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _class2_init_jit(pr, warm_maxit, n, hi, acc):
+    """Warm start + prologue (cast, KKT0, objective) as ONE cached
+    module-level program with ``prob`` as argument."""
+    ws = warmup_class2(pr, warm_maxit)
+    X, lam = ws.X, ws.lam.astype(hi)
+    us = jnp.concatenate([ws.y, ws.z])
+    k0 = op.kkt_class2(X, us[:n], us[n:], lam, pr.C, pr.b, pr.p, pr.q,
+                       pr.Phi, acc)
+    return X, us, lam, jnp.stack(k0), op.vdot_hi(pr.C, X)
+
+
 def make_class2_step(prob: Class2Problem, opts: APDOptions,
                      solver: NewtonSolver | None = None,
                      fused: bool = False):
@@ -161,6 +199,14 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
     hi = jnp.float64 if (dtype == jnp.float32
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
+    cache_key = None
+    if solver is None and not fused:
+        from otamg.opt.apd import _abstract_key
+
+        cache_key = ("c2", _abstract_key(prob), opts, str(hi))
+        cached = _STEP2_CACHE.get(cache_key)
+        if cached is not None:
+            return cached
     user_solver = solver
     solver_maxit = jnp.int32(
         opts.amg.maxit if opts.inner_solver in
@@ -355,7 +401,10 @@ def make_class2_step(prob: Class2Problem, opts: APDOptions,
 
     if fused:
         return outer_step
-    return jax.jit(outer_step)
+    jitted = jax.jit(outer_step)
+    if cache_key is not None:
+        _STEP2_CACHE[cache_key] = jitted
+    return jitted
 
 
 def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
@@ -376,39 +425,17 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
 
-    # Prologue under jit with ``prob`` as ARGUMENT (multi-process safe).
-    @jax.jit
-    def _init(pr):
-        ws = warmup_class2(pr, opts.warmup.maxit)
-        X, lam = ws.X, ws.lam.astype(hi)
-        us = jnp.concatenate([ws.y, ws.z])
-        k0 = op.kkt_class2(X, us[:n], us[n:], lam, pr.C, pr.b, pr.p, pr.q,
-                           pr.Phi, acc)
-        return X, us, lam, jnp.stack(k0), op.vdot_hi(pr.C, X)
-
-    X, us, lam, k0, fx0 = _init(prob)
+    X, us, lam, k0, fx0 = _class2_init_jit(prob, opts.warmup.maxit, n,
+                                           hi, acc)
     VX, vs = X, us
     kkt0 = np.asarray(jax.device_get(k0), np.float64)
     kkt_norm0 = jnp.asarray(kkt0, dtype)
 
     step = make_class2_step(prob, opts, solver)
 
-    @jax.jit
     def _polish(X, us, lam, pr):
-        """Feasibility polish + honest re-measurement (tail safeguard;
-        see operators.feasibility_polish).  Accepted only if the FULL
-        polished KKT meets the tolerance.
-
-        The rounding is dual-aware (saturated rows/columns filled
-        exactly); a dual clip was tried and rejected — zeroing noise
-        duals injects their magnitude into kkt_x through G^T lam."""
-        p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
-        Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
-                                           lam=lam.astype(X.dtype))
-        usp = jnp.concatenate([yp, zp])
-        k = op.kkt_class2(Xp, yp, zp, lam, C, b, p, q, Phi, acc)
-        fx = op.vdot_hi(C, Xp, acc)
-        return Xp, usp, lam, jnp.stack(k), fx
+        Xp, usp, k, fx = _polish_jit(X, us, lam, n, acc, pr)
+        return Xp, usp, lam, k, fx
 
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
@@ -491,6 +518,10 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
                 return True
         return False
 
+    # Sync metric fetch by default; OTAMG_PIPELINE_FETCH=1 restores the
+    # round-3 lagged fetch (see otamg.opt.apd.solve_class1 — under the
+    # round-4 relay, queued dispatches inflate per-step cost ~5x).
+    pipeline = os.environ.get("OTAMG_PIPELINE_FETCH", "0") == "1"
     pending = None          # (k, metrics, state-after-step-k)
     for k in range(k_start, opts.maxit + 1):
         prev_state = (X, us, VX, vs, lam, bk, key)
@@ -499,13 +530,18 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
             kkt_norm0, prev_dev, prob)
         prev_dev = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z,
                               mtr.kkt_l]).astype(dtype)
-        if pending is not None:
-            kp, mtr_p = pending
-            kk = record(mtr_p)
-            if finish(kp, kk, prev_state):
-                pending = None
+        if not pipeline:
+            kk = record(mtr)
+            if finish(k, kk, (X, us, VX, vs, lam, bk, key)):
                 break
-        pending = (k, mtr)
+        else:
+            if pending is not None:
+                kp, mtr_p = pending
+                kk = record(mtr_p)
+                if finish(kp, kk, prev_state):
+                    pending = None
+                    break
+            pending = (k, mtr)
         if checkpoint_dir is not None and k % checkpoint_every == 0:
             from otamg.diag import checkpoint as ckpt
 
@@ -538,19 +574,7 @@ def _polish_final(prob: Class2Problem, opts: APDOptions, acc,
     only ``kkt_l`` stalled, apply :func:`operators.feasibility_polish`
     and accept only if the honestly re-measured FULL KKT passes.
     Returns ``(X, us, kk, fx, accepted)``."""
-    n = prob.n
-
-    @jax.jit
-    def go(X, us, lam, pr):
-        p, q, C, Phi, b = pr.p, pr.q, pr.C, pr.Phi, pr.b
-        Xp, yp, zp = op.feasibility_polish(X, us[:n], us[n:], p, q, Phi, b,
-                                           lam=lam.astype(X.dtype))
-        usp = jnp.concatenate([yp, zp])
-        k = op.kkt_class2(Xp, yp, zp, lam, C, b, p, q, Phi, acc)
-        fx = op.vdot_hi(C, Xp, acc)
-        return Xp, usp, jnp.stack(k), fx
-
-    Xp, usp, kkp, fxp = go(X, us, lam, prob)
+    Xp, usp, kkp, fxp = _polish_jit(X, us, lam, prob.n, acc, prob)
     kkp = np.asarray(jax.device_get(kkp))
     ok = bool((kkp / (1 + kkt0)).max() <= opts.kkt_tol)
     return Xp, usp, kkp, float(fxp), ok
@@ -587,16 +611,8 @@ def solve_class2_chunked(prob: Class2Problem,
                          and jax.config.jax_enable_x64) else dtype
     acc = hi if hi != dtype else None
 
-    @jax.jit
-    def _init(pr):
-        ws = warmup_class2(pr, opts.warmup.maxit)
-        X, lam = ws.X, ws.lam.astype(hi)
-        us = jnp.concatenate([ws.y, ws.z])
-        k0 = op.kkt_class2(X, us[:n], us[n:], lam, pr.C, pr.b, pr.p, pr.q,
-                           pr.Phi, acc)
-        return X, us, lam, jnp.stack(k0), op.vdot_hi(pr.C, X)
-
-    X, us, lam, k0, fx0 = _init(prob)
+    X, us, lam, k0, fx0 = _class2_init_jit(prob, opts.warmup.maxit, n,
+                                           hi, acc)
     VX, vs = X, us
     kkt0 = np.asarray(jax.device_get(k0), np.float64)
     kkt_norm0 = jnp.asarray(kkt0, dtype)
@@ -760,6 +776,8 @@ def solve_class2_fused(prob: Class2Problem,
         rec_kkt = jnp.zeros((maxit + 1, 4), dtype).at[0].set(kkt_norm0)
         rec_fx = jnp.zeros(maxit + 1, dtype).at[0].set(op.vdot_hi(C, X))
         rec_ssn = jnp.zeros(maxit + 1, jnp.int32)
+        rec_imin = jnp.full(maxit + 1, -1, jnp.int32)
+        rec_iavg = jnp.full(maxit + 1, -1, jnp.int32)
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
         rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
@@ -769,8 +787,8 @@ def solve_class2_fused(prob: Class2Problem,
 
         def body(c):
             (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
-             rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
-             rec_restart) = c
+             rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
+             rec_isum, rec_restart) = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
                 k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev, pr)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
@@ -780,6 +798,8 @@ def solve_class2_fused(prob: Class2Problem,
                     kk.astype(dtype), fail + mtr.fail,
                     rec_kkt.at[k].set(kk), rec_fx.at[k].set(mtr.fxk),
                     rec_ssn.at[k].set(mtr.ssn_it),
+                    rec_imin.at[k].set(mtr.it_min),
+                    rec_iavg.at[k].set(mtr.it_avg),
                     rec_imax.at[k].set(mtr.it_max),
                     rec_isum.at[k].set(mtr.it_sum),
                     rec_restart.at[k].set(mtr.restarted))
@@ -787,15 +807,19 @@ def solve_class2_fused(prob: Class2Problem,
         init = (jnp.int32(1), X, us, VX, vs, lam,
                 jnp.asarray(1.0, dtype), jnp.bool_(False), key,
                 kkt_norm0.astype(dtype), jnp.int32(0),
-                rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart)
+                rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
+                rec_isum, rec_restart)
         out = lax.while_loop(cond, body, init)
         (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
-         rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum, rec_restart) = out
+         rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
+         rec_isum, rec_restart) = out
         return (k - 1, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn,
-                rec_imax, rec_isum, rec_restart, kkt_norm0)
+                rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart,
+                kkt_norm0)
 
-    (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imax, rec_isum,
-     rec_restart, kkt_norm0) = run(jax.random.PRNGKey(opts.seed), prob)
+    (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg,
+     rec_imax, rec_isum, rec_restart, kkt_norm0) = run(
+        jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kkt = np.asarray(rec_kkt)[: iters + 1]
     kkt0 = kkt[0]
@@ -811,13 +835,15 @@ def solve_class2_fused(prob: Class2Problem,
             kkt[-1] = kkp
             fxk[-1] = fxp
             converged = polished = True
-    imax = np.asarray(rec_imax)[1: iters + 1]
+    itnum = np.stack([np.asarray(rec_imin)[1: iters + 1],
+                      np.asarray(rec_iavg)[1: iters + 1],
+                      np.asarray(rec_imax)[1: iters + 1]], axis=1)
     return Solve2Result(
         X=X, y=us[:n], z=us[n:], lam=lam,
         converged=converged, iters=iters, kkt=kkt,
         fxk=fxk,
         ssn_itnum=np.asarray(rec_ssn)[1: iters + 1],
-        solver_itnum=np.stack([imax, imax, imax], axis=1),
+        solver_itnum=itnum,
         restarts=np.asarray(rec_restart)[1: iters + 1],
         fail_count=int(fail), wall_time=time.perf_counter() - t0,
         inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()),

@@ -91,9 +91,9 @@ def run(name):
                setup_s=round(t0 - t_setup, 3))
     if os.environ.get("OTAMG_COARSE_TARGET"):
         out["coarse_target"] = int(os.environ["OTAMG_COARSE_TARGET"])
-    # Warm re-run only when the cold one converged and is not a huge
-    # config (1024^2 cold already answers the question).
-    if res.converged and "1024" not in name and not name.endswith("smoke"):
+    # Warm re-run when the cold one converged (program caching makes
+    # warm re-solves cheap even at 1024^2).
+    if res.converged and not name.endswith("smoke"):
         t0 = time.time()
         res2 = solve(prob, opts)
         out["warm_s"] = round(time.time() - t0, 3)
