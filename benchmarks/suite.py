@@ -57,7 +57,8 @@ def run_class1(m, n, cycle, inner, mesh=None, label="",
     return res
 
 
-def run_class2(m, n):
+def run_class2(m, n, mesh=None, label="", single=False,
+               feas_polish=False):
     import jax
 
     from otamg.config import AMGOptions, APDOptions, InnerSolver
@@ -66,17 +67,27 @@ def run_class2(m, n):
 
     solve_dtype = None if jax.default_backend() == "cpu" else "float32"
     prob = random_class2(jax.random.PRNGKey(1), m, n, mu_frac=0.6)
+    if mesh is not None:
+        from otamg.dist import shard_class2
+
+        prob = shard_class2(prob, mesh)
     opts = APDOptions(ssn_tol1=1e-10, inner_solver=InnerSolver.AMG,
                       solve_dtype=solve_dtype,
-                      amg=AMGOptions(maxit=40, smoth=10))
-    res = solve_class2(prob, opts)
+                      amg=AMGOptions(maxit=40, smoth=10),
+                      feas_polish=feas_polish)
     t0 = time.time()
     res = solve_class2(prob, opts)
     dt = time.time() - t0
+    if not single:
+        t0 = time.time()
+        res = solve_class2(prob, opts)
+        dt = time.time() - t0
     print(json.dumps({
-        "bench": f"class2_{m}x{n}_amg4pot", "m": m, "n": n,
+        "bench": label or f"class2_{m}x{n}_amg4pot", "m": m, "n": n,
+        "devices": 1 if mesh is None else int(mesh.devices.size),
         "converged": bool(res.converged), "iters": int(res.iters),
         "time_s": round(dt, 3), "fail": int(res.fail_count),
+        "cold_timing": single,
     }))
 
 
@@ -125,6 +136,21 @@ def main():
             size = 1024 // shrink
             run_class1(size, size, "W", "AMG",
                        label=f"cfg4_class1_{size}_1chip")
+    if 6 in configs:
+        # Class-2 at 1024^2 (round-4 addition; the reference's own
+        # Class2 driver was written for 1000^2 inputs,
+        # ``Class2/APD_SsN_Class2.m:20``).  TPU invariant: it=56
+        # (benchmarks/RESULTS_tpu.jsonl r4_c2_1024).
+        ndev = len(jax.devices())
+        mesh = None
+        if ndev > 1:
+            from otamg.dist import make_mesh
+
+            mesh = make_mesh(ndev)
+        size = 1024 // shrink
+        run_class2(size, size, mesh=mesh,
+                   label=f"cfg6_class2_{size}_dist{ndev}",
+                   single=args.single, feas_polish=True)
     if 5 in configs:
         # BASELINE config 5: 2048^2 with EXPLICIT distributed KKT assembly
         # (shard_map psum/all_gather, ``ASAt.m:14-19`` ->

@@ -692,23 +692,28 @@ def _coarsen_dense(A, active, labels, nsp, cap_next: int,
 
 
 def _gen_tape(num_levels: int, gamma: int) -> list[tuple[str, int]]:
-    """Unroll the (V: gamma=1 / W: gamma=2) cycle recursion into a static
-    (op, level) sequence.  Levels are 0 (bipartite) .. num_levels-1."""
+    """Unroll the cycle recursion into a static (op, level) sequence.
+    ``gamma``: 1 = V, 2 = W, 3 = F (W's revisit structure but the second
+    child visit runs as a V-cycle — level l visited l+1 times, linear in
+    depth, vs the W-cycle's 2^(l-1)).  Levels are 0 (bipartite) ..
+    num_levels-1."""
     ops: list[tuple[str, int]] = []
     last = num_levels - 1
 
-    def visit(l: int) -> None:
+    def visit(l: int, g: int) -> None:
         if l == last:
             ops.append(("coarse", l))
             return
         ops.append(("pre", l))
         ops.append(("down", l))
-        visit(l + 1)
-        if gamma == 2 and l + 1 != last:
-            visit(l + 1)  # warm-started revisit (MG_Wcycle.m:28-30)
+        visit(l + 1, g)
+        if g >= 2 and l + 1 != last:
+            # warm-started revisit (MG_Wcycle.m:28-30); F demotes the
+            # revisit (and everything under it) to a V-cycle.
+            visit(l + 1, 1 if g == 3 else g)
         ops.append(("up", l))
 
-    visit(0)
+    visit(0, gamma)
     return ops
 
 
@@ -876,7 +881,7 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
     ``deflated=True`` keeps all iterates kernel-free (mixed-precision
     correction solves; see :func:`_projected_smooth`)."""
     nseg = b.shape[0]
-    gamma = 2 if opts.cycle == Cycle.W else 1
+    gamma = {Cycle.V: 1, Cycle.W: 2, Cycle.F: 3}[opts.cycle]
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
                        opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
                        opts.coarse_solver == "direct", deflated)

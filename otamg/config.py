@@ -28,6 +28,13 @@ class Preconditioner(enum.Enum):
 class Cycle(enum.Enum):
     V = "v"
     W = "w"
+    # F-cycle (TPU-build extension, no reference analogue): the W-cycle
+    # revisit structure but the SECOND child visit runs as a V-cycle, so
+    # level l is visited l+1 times (linear in depth) instead of 2^(l-1)
+    # (exponential).  Round-4 measurement: a W-cycle's wall time is
+    # op-count bound at the deep (tiny) levels, so F trades a little
+    # convergence rate for a much shorter tape.
+    F = "f"
 
 
 class InnerSolver(enum.Enum):

@@ -21,6 +21,34 @@ def test_solve_bitwise_deterministic():
     np.testing.assert_array_equal(r1.kkt_l, r2.kkt_l)
 
 
+def test_step_program_cache_reuse_and_isolation():
+    """Round-4 program cache: same (shapes, options) reuses the SAME
+    jitted step across solves (warm solves must not recompile — the TPU
+    relay charges a full remote compile per new jit wrapper), while
+    different shapes/options/problems get distinct entries and identical
+    results to a fresh build."""
+    from otamg.opt.apd import _STEP_CACHE, make_class1_step
+
+    _STEP_CACHE.clear()
+    p1 = random_class1(jax.random.PRNGKey(1), 20, 16)
+    p2 = random_class1(jax.random.PRNGKey(2), 20, 16)   # same shapes
+    p3 = random_class1(jax.random.PRNGKey(1), 24, 16)   # different shape
+    opts = APDOptions(inner_solver=InnerSolver.AMG, maxit=8, seed=0)
+    s1 = make_class1_step(p1, opts)
+    assert make_class1_step(p1, opts) is s1
+    assert make_class1_step(p2, opts) is s1   # keyed on shapes, not values
+    assert make_class1_step(p3, opts) is not s1
+    opts2 = APDOptions(inner_solver=InnerSolver.AMG, maxit=9, seed=0)
+    assert make_class1_step(p1, opts2) is not s1
+    # The cached step must still produce per-problem answers (the
+    # problem is an argument, not baked in).
+    r1 = solve_class1(p1, opts)
+    r2 = solve_class1(p2, opts)
+    assert not np.array_equal(np.asarray(r1.X), np.asarray(r2.X))
+    r1b = solve_class1(p1, opts)
+    np.testing.assert_array_equal(np.asarray(r1.X), np.asarray(r1b.X))
+
+
 def test_different_seed_different_randomness_same_answer():
     """Seeds change MIS tie-breaks and initial guesses but not the
     converged answer (tolerance-based reproducibility, SURVEY.md hard

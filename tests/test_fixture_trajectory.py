@@ -13,7 +13,7 @@ import os
 
 import pytest
 
-from otamg.config import APDOptions, InnerSolver
+from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
 from otamg.opt import solve_class1
 from otamg.opt.apd2 import solve_class2
 from otamg.ot import load_class1_mat, load_class2_mat
@@ -26,11 +26,16 @@ def _skip_unless(path):
         pytest.skip(f"reference fixture {path} not available")
 
 
-@pytest.mark.parametrize("solve_dtype", [None, "float32"])
-def test_class1_fixture_it58(class1_fixture_path, solve_dtype):
+# The F-cycle (the bench's TPU configuration) must reproduce the
+# reference W-cycle trajectory exactly — validated at 58/58 (c1, both
+# precisions), 53 (c2), 52 (256^2), 51 (1024^2), 47 (c2 TPU) in round 4.
+@pytest.mark.parametrize("solve_dtype,cycle", [
+    (None, Cycle.W), ("float32", Cycle.W), ("float32", Cycle.F)])
+def test_class1_fixture_it58(class1_fixture_path, solve_dtype, cycle):
     _skip_unless(class1_fixture_path)
     prob = load_class1_mat(class1_fixture_path)
-    opts = APDOptions(inner_solver=InnerSolver.AMG, solve_dtype=solve_dtype)
+    opts = APDOptions(inner_solver=InnerSolver.AMG, solve_dtype=solve_dtype,
+                      amg=AMGOptions(cycle=cycle))
     res = solve_class1(prob, opts)
     assert res.converged
     assert res.iters == 58, f"trajectory drift: it={res.iters} != 58"
@@ -41,17 +46,24 @@ def test_class1_fixture_it58(class1_fixture_path, solve_dtype):
     assert not res.restarts.any()
 
 
-@pytest.mark.parametrize("solve_dtype", [None, "float32"])
-def test_class2_fixture_it53(class2_fixture_path, solve_dtype):
+@pytest.mark.parametrize("solve_dtype,cycle", [
+    (None, Cycle.W), ("float32", Cycle.W), (None, Cycle.F)])
+def test_class2_fixture_it53(class2_fixture_path, solve_dtype, cycle):
     """Class-2 contract in BOTH precisions: the fp32 mixed-precision
     architecture (f64 APD state, fp32 MXU hierarchy with deflated
     refinement) must reproduce the f64 trajectory exactly — the Class-2
     analogue of the Class-1 fp32 pin, so a TPU-path divergence (as in the
-    round-2 Class-1 bug) cannot ship silently."""
+    round-2 Class-1 bug) cannot ship silently.  The F-cycle variant pins
+    the bench's TPU configuration."""
     _skip_unless(class2_fixture_path)
     prob = load_class2_mat(class2_fixture_path)
+    # W variants pin the original (default-AMG) contract; the F variant
+    # pins the bench's exact TPU configuration (maxit 40 / smoth 10,
+    # Class2/APD_SsN_Class2.m:80-81).
+    amg = (AMGOptions(cycle=cycle) if cycle == Cycle.W
+           else AMGOptions(maxit=40, smoth=10, cycle=cycle))
     opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
-                      solve_dtype=solve_dtype)
+                      solve_dtype=solve_dtype, amg=amg)
     res = solve_class2(prob, opts)
     assert res.converged
     assert res.iters == 53, f"trajectory drift: it={res.iters} != 53"
