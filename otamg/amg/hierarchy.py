@@ -625,64 +625,90 @@ def _coarsen_dense(A, active, labels, nsp, cap_next: int,
 
     dinv = 1.0 / jnp.diag(A)
     fc_mask = jnp.logical_and(isF[:, None], isC[None, :])
-    W1 = jnp.where(fc_mask, -A * dinv[:, None], 0.0)
-    if opts.inter >= 2:
-        # Ideal interpolation: W = -Aff^{-1} Afc on the F subsystem.
-        ff = jnp.logical_and(isF[:, None], isF[None, :])
-        Aff = jnp.where(ff, A, 0.0) + jnp.diag(
-            jnp.logical_not(isF).astype(dtype))
-        Afc = jnp.where(fc_mask, A, 0.0)
-        W = -jnp.linalg.solve(Aff, Afc)
-        W = jnp.where(isF[:, None], W, 0.0) * isC[None, :]
-    else:
-        # Standard interpolation; the reference's always-true guard makes
-        # the effective weight 0.5 regardless of `inter` (transfer.m:54-56).
-        strong_ff = jnp.logical_and(
-            As, jnp.logical_and(isF[:, None], isF[None, :]))
-        AFFs = jnp.where(strong_ff, A, 0.0) + jnp.diag(
-            jnp.where(isF, jnp.diag(A), 0.0))
-        W2 = -dinv[:, None] * _mm(AFFs, W1)
-        W = W1 + 0.5 * W2
-    # Near-null-space row normalization (transfer.m:60-62), per-node.
-    # Guard is RELATIVE, not the reference's ~0 test: an F node whose
-    # interpolation weights sum to ~0 (no strong C neighbor in its
-    # component after an unlucky threshold flip) would have its row
-    # divided by that tiny sum — an exploding prolongation turns the
-    # whole cycle divergent (rho > 1).  Healthy rows sum to O(1); only
-    # those are safe to normalize.
-    rowsum = jnp.sum(W, axis=1)
-    norm_mask = jnp.logical_and(jnp.logical_and(isF, nsp),
-                                jnp.abs(rowsum) > 0.01)
-    W = jnp.where(norm_mask[:, None],
-                  W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
-
-    P_full = W + jnp.diag(isC.astype(dtype))
-    # Compact C columns to the static capacity (C nodes in index order);
-    # overflow beyond the capacity is demoted (rare — MIS targets N/2).
+    # Compaction geometry (depends only on the C/F split, not on the
+    # interpolation weights): C columns in index order, overflow beyond
+    # the static capacity demoted (rare — MIS targets N/2).
     perm = jnp.argsort(jnp.logical_not(isC), stable=True)
     colidx = perm[:cap_next]
     numC = jnp.sum(isC)
     keep = jnp.arange(cap_next) < numC
-    P = P_full[:, colidx] * keep[None, :].astype(dtype)
     active_next = keep
     labels_next = labels[colidx]
     nsp_next = jnp.logical_and(nsp[colidx], active_next)
-    Ac = _mm(P.T, _mm(A, P))
-    Ac = 0.5 * (Ac + Ac.T)
-    Ac = Ac + jnp.diag(jnp.logical_not(active_next).astype(dtype))
-    # Interpolation defect, measured on the truncated P so capacity
-    # demotion counts too: every active near-singular node that must
-    # interpolate from the coarse grid (F node or demoted C node) in a
-    # component that keeps at least one C node must have its P row sum
-    # to 1, or P 1_c != 1_f and the projection invariant breaks.
     kept_flag = jnp.zeros(c, bool).at[colidx].set(keep)
     ccount = jax.ops.segment_sum(kept_flag.astype(jnp.int32), labels,
                                  num_segments=nseg)
     relevant = jnp.logical_and(
         jnp.logical_and(active, nsp),
         jnp.logical_and(ccount[labels] > 0, jnp.logical_not(kept_flag)))
-    rowsum_p = jnp.sum(P, axis=1)
-    defect = jnp.max(jnp.where(relevant, jnp.abs(rowsum_p - 1.0), 0.0))
+
+    def ideal_W(_):
+        # Ideal interpolation W = -Aff^{-1} Afc on the F subsystem:
+        # A-harmonic, so ``P 1_c = 1_f`` holds per component exactly —
+        # immune to the MIS bail-out's missing strong C neighbors.
+        ff = jnp.logical_and(isF[:, None], isF[None, :])
+        Aff = jnp.where(ff, A, 0.0) + jnp.diag(
+            jnp.logical_not(isF).astype(dtype))
+        Afc = jnp.where(fc_mask, A, 0.0)
+        W = -jnp.linalg.solve(Aff, Afc)
+        return jnp.where(isF[:, None], W, 0.0) * isC[None, :]
+
+    def standard_W(_):
+        # Standard interpolation; the reference's always-true guard makes
+        # the effective weight 0.5 regardless of `inter` (transfer.m:54-56).
+        strong_ff = jnp.logical_and(
+            As, jnp.logical_and(isF[:, None], isF[None, :]))
+        AFFs = jnp.where(strong_ff, A, 0.0) + jnp.diag(
+            jnp.where(isF, jnp.diag(A), 0.0))
+        W1 = jnp.where(fc_mask, -A * dinv[:, None], 0.0)
+        W2 = -dinv[:, None] * _mm(AFFs, W1)
+        return W1 + 0.5 * W2
+
+    def finish(W):
+        """Normalization -> truncated P -> Galerkin -> defect."""
+        # Near-null-space row normalization (transfer.m:60-62), per-node.
+        # Guard is RELATIVE, not the reference's ~0 test: an F node whose
+        # interpolation weights sum to ~0 (no strong C neighbor in its
+        # component after an unlucky threshold flip) would have its row
+        # divided by that tiny sum — an exploding prolongation turns the
+        # whole cycle divergent (rho > 1).  Healthy rows sum to O(1);
+        # only those are safe to normalize.
+        rowsum = jnp.sum(W, axis=1)
+        norm_mask = jnp.logical_and(jnp.logical_and(isF, nsp),
+                                    jnp.abs(rowsum) > 0.01)
+        W = jnp.where(norm_mask[:, None],
+                      W / jnp.where(norm_mask, rowsum, 1.0)[:, None], W)
+        P_full = W + jnp.diag(isC.astype(dtype))
+        P = P_full[:, colidx] * keep[None, :].astype(dtype)
+        Ac = _mm(P.T, _mm(A, P))
+        Ac = 0.5 * (Ac + Ac.T)
+        Ac = Ac + jnp.diag(jnp.logical_not(active_next).astype(dtype))
+        # Interpolation defect, measured on the truncated P so capacity
+        # demotion counts too: every active near-singular node that must
+        # interpolate from the coarse grid (F node or demoted C node) in
+        # a component that keeps at least one C node must have its P row
+        # sum to 1, or P 1_c != 1_f and the projection invariant breaks.
+        rowsum_p = jnp.sum(P, axis=1)
+        defect = jnp.max(jnp.where(relevant, jnp.abs(rowsum_p - 1.0), 0.0))
+        return Ac, P, defect
+
+    if opts.inter >= 2:
+        Ac, P, defect = finish(ideal_W(None))
+    else:
+        Ac, P, defect = finish(standard_W(None))
+        # Defect REPAIR (round-4; no reference analogue — the reference
+        # never ran where its MIS bail-out mattered): when the standard
+        # interpolation breaks ``P 1_c = 1_f`` on a persisting
+        # near-singular component (2048^2 active sets do this), rebuild
+        # the level with IDEAL interpolation instead of disabling the
+        # kernel projection from here down.  Below the threshold the
+        # standard branch is taken unchanged, so small-problem
+        # trajectories are bit-identical; at 2048^2 the repair turns an
+        # unconverged (it=100, rel 7e-5) fp32 run into it=59.
+        Ac, P, defect = lax.cond(
+            defect >= 0.1,
+            lambda _: finish(ideal_W(None)),
+            lambda _: (Ac, P, defect), None)
     return Ac, active_next, labels_next, nsp_next, P, defect
 
 

@@ -62,6 +62,23 @@ def test_different_seed_different_randomness_same_answer():
     np.testing.assert_allclose(r1.fxk[-1], r2.fxk[-1], rtol=1e-7)
 
 
+def test_pipeline_and_sync_fetch_identical(monkeypatch):
+    """The two metric-fetch modes (synchronous default vs the pipelined
+    lagged fetch, OTAMG_PIPELINE_FETCH=1) are pure driver plumbing and
+    must produce identical solves."""
+    prob = random_class1(jax.random.PRNGKey(5), 20, 16)
+    opts = APDOptions(inner_solver=InnerSolver.AMG, seed=3)
+    monkeypatch.delenv("OTAMG_PIPELINE_FETCH", raising=False)
+    r_sync = solve_class1(prob, opts)
+    monkeypatch.setenv("OTAMG_PIPELINE_FETCH", "1")
+    r_pipe = solve_class1(prob, opts)
+    assert r_sync.converged and r_pipe.converged
+    assert r_sync.iters == r_pipe.iters
+    np.testing.assert_array_equal(np.asarray(r_sync.X),
+                                  np.asarray(r_pipe.X))
+    np.testing.assert_array_equal(r_sync.kkt_l, r_pipe.kkt_l)
+
+
 def test_all_metrics_finite():
     prob = random_class1(jax.random.PRNGKey(11), 16, 12)
     res = solve_class1(prob, APDOptions(inner_solver=InnerSolver.AMG))
