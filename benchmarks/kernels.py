@@ -33,18 +33,6 @@ BENCHES = ["bipartite_masked_gemv", "bip_gemv_loop", "bip_sweep_loop",
            "galerkin_gemm", "newton_solve_amg"]
 
 
-def timeit(fn, *args, n=20):
-    import jax
-
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=2048)
