@@ -126,9 +126,10 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     scatter, never mis-accumulated).
 
     Padding slots (col 0 / val 0 by the container invariant) merge into a
-    single zero-valued col-0 group, so a compacted row keeps the same
-    padding invariant; one slot may be spent on that group, making the
-    effective capacity ``out_cap - 1`` in the worst case.
+    single zero-valued col-0 group which is dropped from the output
+    entirely (real groups shift down one slot), so a compacted row keeps
+    the padding invariant via its untouched trailing zero slots and the
+    full ``out_cap`` is available for real groups.
 
     Zero-VALUED entries at arbitrary columns (e.g. products of an A
     padding slot against B's real row 0 in the SpGEMM expansion) are
@@ -137,10 +138,12 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     let them displace real entries under a tight ``out_cap``.
 
     Returns ``(out_cols, out_vals, ngroups_max)`` — the third value is the
-    distinct-column count of the WORST row (including the padding group).
-    ``ngroups_max > out_cap`` means real merged entries were dropped and
-    the compacted operator is silently wrong: callers must surface it
-    (``spgemm_rowsharded`` propagates it as its overflow indicator).
+    REAL distinct-column count of the worst row (the zero-valued padding
+    group excluded — advisor r4: counting it made the flag fire on rows
+    at exact-fit capacity).  ``ngroups_max > out_cap`` means real merged
+    entries were dropped and the compacted operator is silently wrong:
+    callers must surface it (``spgemm_rowsharded`` propagates it as its
+    overflow indicator).
     """
     cols = jnp.where(vals == 0, 0, cols)
     order = jnp.argsort(cols, axis=1)
@@ -149,6 +152,13 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     is_new = jnp.concatenate(
         [jnp.ones_like(cs[:, :1], bool), cs[:, 1:] != cs[:, :-1]], axis=1)
     gid = jnp.cumsum(is_new, axis=1) - 1
+    # A row's group 0 is padding-only iff it sits at col 0 and sums to 0
+    # (a real group summing to 0 merges to a zero entry anyway — dropping
+    # it is operator-neutral).  Shift it out so real groups start at
+    # slot 0 (gid -1 scatters are dropped) and exclude it from the count.
+    g0_sum = jnp.sum(jnp.where(gid == 0, vs, 0), axis=1)
+    pad_only = jnp.logical_and(cs[:, 0] == 0, g0_sum == 0)
+    gid = gid - pad_only[:, None].astype(gid.dtype)
     ngroups_max = jnp.max(gid[:, -1]) + 1
     R = cols.shape[0]
     rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],

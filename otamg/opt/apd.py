@@ -175,13 +175,20 @@ def _abstract_key(prob) -> tuple:
                  for l in jax.tree_util.tree_leaves(prob))
 
 
+# Module-level jit (advisor r4): a fresh wrapper per call is a full
+# remote recompile through the axon relay, and _is_capacitated runs
+# BEFORE the _STEP_CACHE lookup — warm capacitated solves would pay a
+# compile per solve.  One wrapper => one cached program per shape.
+_any_finite_jit = jax.jit(lambda g: jnp.any(jnp.isfinite(g)))
+
+
 def _is_capacitated(gama) -> bool:
     """Concrete ``any(isfinite(gama))`` that works on multi-process global
     arrays too (eager numpy on a non-addressable array is rejected; a jit
     with the array as ARGUMENT returns a replicated scalar)."""
     if np.ndim(gama) == 0:
         return bool(np.isfinite(jax.device_get(jnp.asarray(gama))))
-    return bool(jax.jit(lambda g: jnp.any(jnp.isfinite(g)))(gama))
+    return bool(_any_finite_jit(gama))
 
 
 def make_class1_step(prob: Class1Problem, opts: APDOptions,

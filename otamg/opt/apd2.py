@@ -459,10 +459,13 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     polished = False
     k_final = opts.maxit
 
-    # Software-pipelined metric fetch, as in solve_class1: prev_kkt flows
-    # device-to-device and iteration k's metrics are fetched while k+1
-    # executes; the stopping/polish decision lags one iteration and the
-    # converged state is restored from the saved pre-dispatch state.
+    # Metric fetch: SYNCHRONOUS by default (each iteration's metrics are
+    # fetched before the next dispatch — through the axon relay only a
+    # host fetch reliably barriers queued work).  Setting
+    # OTAMG_PIPELINE_FETCH=1 re-enables the round-3 software-pipelined
+    # mode (fetch k's metrics while k+1 executes; stop decision lags one
+    # iteration and the converged state is restored from the saved
+    # pre-dispatch state) — see the dispatch loop below.
     prev_dev = jnp.asarray(kkt_hist[-1], dtype)
 
     def record(mtr_dev):
