@@ -743,6 +743,42 @@ def _gen_tape(num_levels: int, gamma: int) -> list[tuple[str, int]]:
     return ops
 
 
+def _coarse_solve(lv, r, nseg: int, deflated: bool, coarse_retol: float,
+                  coarse_maxit: int, coarse_direct: bool):
+    """Coarsest-level solve, shared by the full tape and the deep build.
+
+    Default: spectrally-filtered direct solve via the setup-time
+    eigendecomposition (two tiny GEMVs); eigendirections below the
+    solve-dtype noise floor are truncated — the deterministic equivalent
+    of the reference PCG's stagnation (see ``DenseLevel.einv``).
+    Fallback: Jacobi-PCG with the reference PCG defaults
+    (``MG_Vcycle.m:43``, ``PCG.m:18-27``)."""
+    if coarse_direct and isinstance(lv, DenseLevel) \
+            and lv.evecs.shape[0] > 0:
+        rc = r.astype(lv.evecs.dtype)
+        e_c = lv.evecs @ (lv.einv * (lv.evecs.T @ rc))
+        if deflated:
+            # Keep the coarse correction kernel-free too (the spectral
+            # filter truncates most of it; this removes the rest exactly).
+            xi_c = lv.nsp.astype(e_c.dtype)
+            cntc = jax.ops.segment_sum(
+                xi_c, lv.labels, num_segments=nseg)
+            mean = jax.ops.segment_sum(
+                e_c * xi_c, lv.labels, num_segments=nseg
+            ) / jnp.where(cntc > 0, cntc, 1.0)
+            e_c = e_c - xi_c * jnp.where(lv.nsp, mean[lv.labels], 0.0)
+        return e_c.astype(r.dtype)
+    if isinstance(lv, BipartiteLevel):
+        dg = lv.g
+        mv = lambda v: bip_matvec(lv, v)
+    else:
+        dg = jnp.diag(lv.A)
+        mv = lambda v: dense_matvec(lv, v)
+    res = pcg(mv, r, lambda v: v / dg,
+              retol=coarse_retol, maxit=coarse_maxit)
+    return res.x
+
+
 def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                coarse_retol: float = 1e-11, coarse_maxit: int = 10_000,
                coarse_direct: bool = True, deflated: bool = False):
@@ -759,15 +795,42 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
     data-dependent 1e4-iteration inner while_loop from the hot cycle
     program.  See ``DenseLevel.einv`` for why the filter (not a plain
     exact solve) is required at low solve dtypes.
+
+    **Fused deep correction** (round 5): the sub-tape below level 0 —
+    everything between ``down(0)`` and ``up(0)``, including W/F revisits
+    of level 1 — is a LINEAR map ``r1 -> e1`` (every op is a
+    correction-form linear update).  ``cycle.build_deep(lv1, dense,
+    dtype)`` materializes it ONCE per Newton solve as a ``(cap1, cap1)``
+    matrix by vmapping the exact sub-tape over identity columns (the
+    GEMVs batch into MXU GEMMs); passing the result as ``deep_D``
+    replaces the whole op-count-bound deep tape (the measured 34 ms/
+    W-cycle bottleneck at 4096 nodes, ``benchmarks/NEWTON_tpu.jsonl``)
+    with one GEMV per cycle.  Same linear algebra, different rounding
+    order — trajectory pins are re-verified with the flag on.
     """
     num_levels = num_dense + 1
     tape = _gen_tape(num_levels, gamma)
     op_ids = sorted(set(tape))
     id_of = {op: i for i, op in enumerate(op_ids)}
     tape_codes = jnp.asarray([id_of[t] for t in tape], jnp.int32)
+    # Deep sub-tape: tape is [pre(0), down(0), <deep...>, up(0)] whenever
+    # there are >= 2 levels; fusing pays only with >= 2 dense levels
+    # (otherwise the deep part is already a single coarse op).
+    can_fuse = num_dense >= 2
+    if can_fuse:
+        assert tape[0] == ("pre", 0) and tape[1] == ("down", 0) \
+            and tape[-1] == ("up", 0)
+        # The deep tape gets its own op-id set: lax.switch traces EVERY
+        # branch, and level-0 branches cannot trace against the dummy
+        # level-0 slots of the deep carry.
+        deep_op_ids = sorted(set(tape[2:-1]))
+        deep_id_of = {op: i for i, op in enumerate(deep_op_ids)}
+        deep_codes = jnp.asarray([deep_id_of[t] for t in tape[2:-1]],
+                                 jnp.int32)
 
     def cycle(lv1: BipartiteLevel | DenseLevel,
-              dense: Sequence[DenseLevel], r0: jax.Array):
+              dense: Sequence[DenseLevel], r0: jax.Array,
+              deep_D: jax.Array | None = None):
         n_plus_m = r0.shape[0]
         dtype = r0.dtype
         levels = [lv1] + list(dense)
@@ -824,7 +887,12 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                 es, rs = carry
                 es, rs = list(es), list(rs)
                 if kind == "pre":
-                    es[l] = lvl_smooth(l, es[l], rs[l], False)
+                    # Level 0 is the tape root, visited exactly once per
+                    # cycle with the freshly-zeroed e0 — the fused
+                    # smoother can skip its two warm-up E matvecs.
+                    # (Deeper levels' pre can be warm-started W revisits.)
+                    es[l] = lvl_smooth(l, es[l], rs[l], False,
+                                       e_is_zero=(l == 0))
                 elif kind == "down":
                     rr = rs[l] - lvl_matvec(l, es[l])
                     rs[l + 1] = restrict(l, rr)
@@ -833,42 +901,9 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                     es[l] = es[l] + prolong(l, es[l + 1])
                     es[l] = lvl_smooth(l, es[l], rs[l], True)
                 elif kind == "coarse":
-                    lv = levels[l]
-                    if coarse_direct and isinstance(lv, DenseLevel) \
-                            and lv.evecs.shape[0] > 0:
-                        # Spectrally-filtered direct solve via the
-                        # setup-time eigendecomposition (two tiny
-                        # GEMVs); eigendirections below the solve-dtype
-                        # noise floor are truncated — the deterministic
-                        # equivalent of the reference PCG's stagnation
-                        # (see DenseLevel.einv).
-                        rc = rs[l].astype(lv.evecs.dtype)
-                        e_c = lv.evecs @ (lv.einv * (lv.evecs.T @ rc))
-                        if deflated:
-                            # Keep the coarse correction kernel-free too
-                            # (the spectral filter truncates most of it;
-                            # this removes the rest exactly).
-                            xi_c = lv.nsp.astype(e_c.dtype)
-                            cntc = jax.ops.segment_sum(
-                                xi_c, lv.labels, num_segments=nseg)
-                            mean = jax.ops.segment_sum(
-                                e_c * xi_c, lv.labels, num_segments=nseg
-                            ) / jnp.where(cntc > 0, cntc, 1.0)
-                            e_c = e_c - xi_c * jnp.where(
-                                lv.nsp, mean[lv.labels], 0.0)
-                        es[l] = e_c.astype(dtype)
-                    else:
-                        # Coarsest solve: Jacobi-PCG with the reference PCG
-                        # defaults (MG_Vcycle.m:43, PCG.m:18-27).
-                        if isinstance(lv, BipartiteLevel):
-                            dg = lv.g
-                            mv = lambda v: bip_matvec(lv, v)
-                        else:
-                            dg = jnp.diag(lv.A)
-                            mv = lambda v: dense_matvec(lv, v)
-                        res = pcg(mv, rs[l], lambda v: v / dg,
-                                  retol=coarse_retol, maxit=coarse_maxit)
-                        es[l] = res.x
+                    es[l] = _coarse_solve(levels[l], rs[l], nseg, deflated,
+                                          coarse_retol, coarse_maxit,
+                                          coarse_direct).astype(dtype)
                 return tuple(es), tuple(rs)
 
             return branch
@@ -879,9 +914,80 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
             carry = lax.switch(code, branches, carry)
             return carry, None
 
+        if deep_D is not None:
+            # Short path: the whole deep tape is the precomputed linear
+            # map ``deep_D`` (row-convention: e1 = r1 @ deep_D).
+            carry = branches[id_of[("pre", 0)]]((e0, r_init))
+            carry = branches[id_of[("down", 0)]](carry)
+            es, rs = list(carry[0]), list(carry[1])
+            es[1] = jnp.matmul(rs[1], deep_D, precision=_P)
+            carry = branches[id_of[("up", 0)]]((tuple(es), tuple(rs)))
+            return carry[0][0]
+
         (es, _), _ = lax.scan(body, (e0, r_init), tape_codes)
         return es[0]
 
+    def build_deep(lv1, dense: Sequence[DenseLevel], dtype):
+        """Materialize the deep sub-tape as a ``(cap1, cap1)`` matrix
+        ``M`` with ``M[j] = deep(e_j)`` (so ``deep(r) = r @ M``), or
+        return ``None`` when fusing cannot pay (fewer than 2 dense
+        levels).  Runs the EXACT sub-tape (same branches, scan and
+        rounding semantics) on each basis vector; vmap turns its GEMVs
+        into GEMMs, so the build is MXU-bound and costs about one deep
+        tape traversal total."""
+        if not can_fuse:
+            return None
+        cap1 = dense[0].A.shape[0]
+
+        def deep_fn(r1):
+            # Level-0 slots are never touched by the deep tape; size-1
+            # dummies keep the vmapped carry small.
+            es = tuple([jnp.zeros(1, dtype)]
+                       + [jnp.zeros(lv.A.shape[0], dtype) for lv in dense])
+            rs = tuple([jnp.zeros(1, dtype)]
+                       + [r1 if i == 0 else jnp.zeros(lv.A.shape[0], dtype)
+                          for i, lv in enumerate(dense)])
+            levels = [lv1] + list(dense)
+
+            def lvl_smooth(l, e, r, transpose):
+                return _projected_smooth(dense_matvec, dense_smooth_apply,
+                                         levels[l], e, r, smoth_it,
+                                         transpose, nseg, deflated)
+
+            def make_branch(op):
+                kind, l = op
+
+                def branch(carry):
+                    es, rs = carry
+                    es, rs = list(es), list(rs)
+                    if kind == "pre":
+                        es[l] = lvl_smooth(l, es[l], rs[l], False)
+                    elif kind == "down":
+                        rr = rs[l] - dense_matvec(levels[l], es[l])
+                        rs[l + 1] = _mm(levels[l + 1].P.T, rr)
+                        es[l + 1] = jnp.zeros_like(es[l + 1])
+                    elif kind == "up":
+                        es[l] = es[l] + _mm(levels[l + 1].P, es[l + 1])
+                        es[l] = lvl_smooth(l, es[l], rs[l], True)
+                    elif kind == "coarse":
+                        es[l] = _coarse_solve(levels[l], rs[l], nseg,
+                                              deflated, coarse_retol,
+                                              coarse_maxit, coarse_direct)
+                    return tuple(es), tuple(rs)
+
+                return branch
+
+            branches = [make_branch(op) for op in deep_op_ids]
+
+            def body(carry, code):
+                return lax.switch(code, branches, carry), None
+
+            (es, _), _ = lax.scan(body, (es, rs), deep_codes)
+            return es[1]
+
+        return jax.vmap(deep_fn)(jnp.eye(cap1, dtype=dtype))
+
+    cycle.build_deep = build_deep
     return cycle
 
 
@@ -911,6 +1017,10 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
     cycle = make_cycle(len(dense), opts.smoth, gamma, nseg,
                        opts.coarse_pcg.retol, opts.coarse_pcg.maxit,
                        opts.coarse_solver == "direct", deflated)
+    # Fused deep correction: one matrix build per solve (outside the
+    # stationary while_loop), one GEMV per cycle thereafter.
+    deep_D = (cycle.build_deep(lv1, dense, b.dtype)
+              if opts.fuse_deep else None)
     mv0 = _level0_ops(lv1)[0]
 
     r0 = b - mv0(lv1, guess)
@@ -932,7 +1042,7 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
         # redundant fine-level matvec per iteration.  Float-identical to
         # the recomputing form.
         it, x, r, rel, rho, _ = c
-        e = cycle(lv1, dense, r)
+        e = cycle(lv1, dense, r, deep_D)
         x_new = x + e
         r_new = b - mv0(lv1, x_new)
         res = jnp.linalg.norm(r_new)

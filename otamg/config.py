@@ -106,6 +106,14 @@ class AMGOptions:
     coarse_target: Optional[int] = 128
     # Coarsest-grid target size: reference coarsens until
     # ``size <= 1 + floor(N_fine**(1/3))`` (``Class_AMG.m:76``).
+    # Fused deep correction: materialize the (linear) sub-tape below the
+    # fine level as ONE dense matrix per Newton solve and apply it as a
+    # single GEMV per cycle, replacing the op-count-bound deep visit
+    # chain (round-4 measurement: ~34 ms/W-cycle at 4096 nodes was
+    # serialized µs-GEMV dispatches).  Same linear algebra at a
+    # different rounding order; trajectory pins are tested with the
+    # flag both off and on.  No effect with fewer than 2 dense levels.
+    fuse_deep: bool = False
 
 
 @dataclasses.dataclass(frozen=True)

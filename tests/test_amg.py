@@ -238,6 +238,52 @@ def test_generic_amg_solves_spd_matrix():
     assert err < 1e-6, f"rel err {err:.2e}, iters={int(res.iters)}"
 
 
+@pytest.mark.parametrize("cycle", [Cycle.V, Cycle.W, Cycle.F])
+def test_fuse_deep_matches_full_tape(cycle):
+    """The fused deep correction (one precomputed matrix per solve, one
+    GEMV per cycle) must reproduce the full visit tape: the sub-tape
+    below level 0 is a linear map, so the two are the same algebra at a
+    different rounding order.  Checked on BOTH the generic hierarchy and
+    the production bipartite path (deep-enough hierarchies via a small
+    ``coarse_target``)."""
+    import dataclasses
+
+    from otamg.amg.hierarchy import amg_solve_matrix
+
+    rng = np.random.default_rng(33)
+    A = _grid_laplacian(12, 10) + 0.01 * np.eye(120)
+    b = rng.standard_normal(120)
+    o0 = AMGOptions(maxit=20, cycle=cycle, coarse_target=12)
+    o1 = dataclasses.replace(o0, fuse_deep=True)
+    r0 = amg_solve_matrix(jnp.asarray(A), jnp.asarray(b), o0)
+    r1 = amg_solve_matrix(jnp.asarray(A), jnp.asarray(b), o1)
+    assert int(r0.iters) == int(r1.iters)
+    xdiff = np.linalg.norm(np.asarray(r0.x - r1.x)) \
+        / np.linalg.norm(np.asarray(r0.x))
+    assert xdiff < 1e-12, f"fused deviates: {xdiff:.2e}"
+
+    # Production (bipartite Newton-system) path.
+    m, n = 48, 40
+    p, q, S, tvec, rhs = _build_problem(rng, m, n, 0.25, 1e-4, 1.0)
+    tk = 0.9
+    Jk = _dense_Jk(p, q, S, tvec, 1e-4, tk)
+    want = np.linalg.solve(Jk, rhs)
+    outs = []
+    for o in (AMGOptions(maxit=40, cycle=cycle, coarse_target=8),
+              AMGOptions(maxit=40, cycle=cycle, coarse_target=8,
+                         fuse_deep=True)):
+        solver = make_hybrid_amg_solver(jnp.asarray(p), jnp.asarray(q), o)
+        outs.append(solver(jnp.asarray(S), jnp.asarray(tvec), 1e-4, tk,
+                           jnp.asarray(rhs), jax.random.PRNGKey(5)))
+    for out in outs:
+        err = np.linalg.norm(np.asarray(out.zeta) - want) \
+            / np.linalg.norm(want)
+        assert err < 1e-7, f"rel err {err:.2e}"
+    # The rounding-order difference can land the relative residual on
+    # opposite sides of retol at the final cycle; allow exactly that.
+    assert abs(int(outs[0].iters) - int(outs[1].iters)) <= 1
+
+
 def test_hybrid_amg_nonbigph_matches_bigph():
     """``bigph=False`` routes the hybrid solve through the generic dense
     hierarchy; both modes must solve the same Jacobian system.  The

@@ -29,13 +29,17 @@ def _skip_unless(path):
 # The F-cycle (the bench's TPU configuration) must reproduce the
 # reference W-cycle trajectory exactly — validated at 58/58 (c1, both
 # precisions), 53 (c2), 52 (256^2), 51 (1024^2), 47 (c2 TPU) in round 4.
-@pytest.mark.parametrize("solve_dtype,cycle", [
-    (None, Cycle.W), ("float32", Cycle.W), ("float32", Cycle.F)])
-def test_class1_fixture_it58(class1_fixture_path, solve_dtype, cycle):
+@pytest.mark.parametrize("solve_dtype,cycle,fuse", [
+    (None, Cycle.W, False), ("float32", Cycle.W, False),
+    ("float32", Cycle.F, False),
+    # The bench's round-5 TPU configuration: fused deep correction (one
+    # matrix per Newton solve, one GEMV per cycle) must keep the pin.
+    ("float32", Cycle.F, True)])
+def test_class1_fixture_it58(class1_fixture_path, solve_dtype, cycle, fuse):
     _skip_unless(class1_fixture_path)
     prob = load_class1_mat(class1_fixture_path)
     opts = APDOptions(inner_solver=InnerSolver.AMG, solve_dtype=solve_dtype,
-                      amg=AMGOptions(cycle=cycle))
+                      amg=AMGOptions(cycle=cycle, fuse_deep=fuse))
     res = solve_class1(prob, opts)
     assert res.converged
     assert res.iters == 58, f"trajectory drift: it={res.iters} != 58"
@@ -46,9 +50,10 @@ def test_class1_fixture_it58(class1_fixture_path, solve_dtype, cycle):
     assert not res.restarts.any()
 
 
-@pytest.mark.parametrize("solve_dtype,cycle", [
-    (None, Cycle.W), ("float32", Cycle.W), (None, Cycle.F)])
-def test_class2_fixture_it53(class2_fixture_path, solve_dtype, cycle):
+@pytest.mark.parametrize("solve_dtype,cycle,fuse", [
+    (None, Cycle.W, False), ("float32", Cycle.W, False),
+    (None, Cycle.F, False), (None, Cycle.F, True)])
+def test_class2_fixture_it53(class2_fixture_path, solve_dtype, cycle, fuse):
     """Class-2 contract in BOTH precisions: the fp32 mixed-precision
     architecture (f64 APD state, fp32 MXU hierarchy with deflated
     refinement) must reproduce the f64 trajectory exactly — the Class-2
@@ -61,7 +66,8 @@ def test_class2_fixture_it53(class2_fixture_path, solve_dtype, cycle):
     # pins the bench's exact TPU configuration (maxit 40 / smoth 10,
     # Class2/APD_SsN_Class2.m:80-81).
     amg = (AMGOptions(cycle=cycle) if cycle == Cycle.W
-           else AMGOptions(maxit=40, smoth=10, cycle=cycle))
+           else AMGOptions(maxit=40, smoth=10, cycle=cycle,
+                           fuse_deep=fuse))
     opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
                       solve_dtype=solve_dtype, amg=amg)
     res = solve_class2(prob, opts)
