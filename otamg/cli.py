@@ -44,12 +44,13 @@ def _common(sub):
     sub.add_argument("--driver", default="loop",
                      choices=["loop", "chunked", "fused"],
                      help="loop: one host dispatch per APD iteration "
-                          "(logging/checkpoint; fastest on TPU — 11.1 s "
+                          "(logging/checkpoint; the TPU default — 11.1 s "
                           "vs chunked 45 s / fused 52 s at 500^2, round "
-                          "4 measurements); chunked: N iterations per "
-                          "dispatch (trajectory-identical); fused: whole "
-                          "solve in one program (TPU-validated round 4 "
-                          "after the eigensolve coarse redesign)")
+                          "4 measurements); chunked/fused are "
+                          "trajectory-identical CPU-oriented paths "
+                          "(correct on TPU but measured 3-5x slower "
+                          "under the axon relay; fused also has no "
+                          "checkpoint support)")
     sub.add_argument("--chunk", type=int, default=8,
                      help="iterations per dispatch for --driver chunked")
     sub.add_argument("--log", help="JSONL per-iteration record path")

@@ -714,6 +714,8 @@ def solve_class1_fused(prob: Class1Problem,
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
         rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
+        rec_ncomp = jnp.zeros(maxit + 1, jnp.int32)
+        rec_last = jnp.zeros(maxit + 1, jnp.int32)
 
         def cond(c):
             (k, X, V, lam, bk, key, resk, done, fail, *_recs) = c
@@ -722,7 +724,7 @@ def solve_class1_fused(prob: Class1Problem,
         def body(c):
             (k, X, V, lam, bk, key, resk, done, fail,
              rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg,
-             rec_imax, rec_isum, rec_restart) = c
+             rec_imax, rec_isum, rec_restart, rec_ncomp, rec_last) = c
             X1, V1, lam1, bk1, key, mtr = step(
                 k, X, V, lam, bk, key, resk, kkt_norm0, pr)
             rr = jnp.maximum(mtr.kkt_x / (1 + kx0), mtr.kkt_l / (1 + kl0))
@@ -737,24 +739,29 @@ def solve_class1_fused(prob: Class1Problem,
             rec_imax = rec_imax.at[k].set(mtr.it_max)
             rec_isum = rec_isum.at[k].set(mtr.it_sum)
             rec_restart = rec_restart.at[k].set(mtr.restarted)
+            rec_ncomp = rec_ncomp.at[k].set(mtr.ncomp)
+            rec_last = rec_last.at[k].set(mtr.last)
             return (k + 1, X1, V1, lam1, bk1, key, resk1, done,
                     fail + mtr.fail, rec_kx, rec_kl, rec_fx, rec_ssn,
-                    rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart)
+                    rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart,
+                    rec_ncomp, rec_last)
 
         resk0 = jnp.maximum(kx0, kl0).astype(dtype)
         init = (jnp.int32(1), X, V, lam, jnp.asarray(1.0, dtype), key,
                 resk0, jnp.bool_(False), jnp.int32(0),
                 rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg,
-                rec_imax, rec_isum, rec_restart)
+                rec_imax, rec_isum, rec_restart, rec_ncomp, rec_last)
         (k, X, V, lam, bk, key, resk, done, fail,
          rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
-         rec_isum, rec_restart) = lax.while_loop(cond, body, init)
+         rec_isum, rec_restart, rec_ncomp, rec_last) = lax.while_loop(
+            cond, body, init)
         return (k - 1, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn,
-                rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart)
+                rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart,
+                rec_ncomp, rec_last)
 
     (k, X, lam, fail, rec_kx, rec_kl, rec_fx, rec_ssn, rec_imin,
-     rec_iavg, rec_imax, rec_isum, rec_restart) = run(
-        jax.random.PRNGKey(opts.seed), prob)
+     rec_iavg, rec_imax, rec_isum, rec_restart, rec_ncomp,
+     rec_last) = run(jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kx = np.asarray(rec_kx)[: iters + 1]
     kl = np.asarray(rec_kl)[: iters + 1]
@@ -769,4 +776,6 @@ def solve_class1_fused(prob: Class1Problem,
         solver_itnum=itnum,
         restarts=np.asarray(rec_restart)[1: iters + 1],
         fail_count=int(fail), wall_time=time.perf_counter() - t0,
-        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()))
+        inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()),
+        info_ncomp=np.asarray(rec_ncomp)[1: iters + 1],
+        info_last=np.asarray(rec_last)[1: iters + 1])

@@ -784,6 +784,8 @@ def solve_class2_fused(prob: Class2Problem,
         rec_imax = jnp.zeros(maxit + 1, jnp.int32)
         rec_isum = jnp.zeros(maxit + 1, jnp.int32)
         rec_restart = jnp.zeros(maxit + 1, bool)
+        rec_ncomp = jnp.zeros(maxit + 1, jnp.int32)
+        rec_last = jnp.zeros(maxit + 1, jnp.int32)
 
         def cond(c):
             return jnp.logical_not(c[7])
@@ -791,7 +793,7 @@ def solve_class2_fused(prob: Class2Problem,
         def body(c):
             (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
              rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
-             rec_isum, rec_restart) = c
+             rec_isum, rec_restart, rec_ncomp, rec_last) = c
             X1, us1, VX1, vs1, lam1, bk1, key, mtr = step(
                 k, X, us, VX, vs, lam, bk, key, kkt_norm0, prev, pr)
             kk = jnp.stack([mtr.kkt_x, mtr.kkt_y, mtr.kkt_z, mtr.kkt_l])
@@ -805,23 +807,27 @@ def solve_class2_fused(prob: Class2Problem,
                     rec_iavg.at[k].set(mtr.it_avg),
                     rec_imax.at[k].set(mtr.it_max),
                     rec_isum.at[k].set(mtr.it_sum),
-                    rec_restart.at[k].set(mtr.restarted))
+                    rec_restart.at[k].set(mtr.restarted),
+                    rec_ncomp.at[k].set(mtr.ncomp),
+                    rec_last.at[k].set(mtr.last))
 
         init = (jnp.int32(1), X, us, VX, vs, lam,
                 jnp.asarray(1.0, dtype), jnp.bool_(False), key,
                 kkt_norm0.astype(dtype), jnp.int32(0),
                 rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
-                rec_isum, rec_restart)
+                rec_isum, rec_restart, rec_ncomp, rec_last)
         out = lax.while_loop(cond, body, init)
         (k, X, us, VX, vs, lam, bk, done, key, prev, fail,
          rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg, rec_imax,
-         rec_isum, rec_restart) = out
+         rec_isum, rec_restart, rec_ncomp, rec_last) = out
         return (k - 1, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn,
                 rec_imin, rec_iavg, rec_imax, rec_isum, rec_restart,
+                rec_ncomp, rec_last,
                 kkt_norm0)
 
     (k, X, us, lam, fail, rec_kkt, rec_fx, rec_ssn, rec_imin, rec_iavg,
-     rec_imax, rec_isum, rec_restart, kkt_norm0) = run(
+     rec_imax, rec_isum, rec_restart, rec_ncomp, rec_last,
+     kkt_norm0) = run(
         jax.random.PRNGKey(opts.seed), prob)
     iters = int(k)
     kkt = np.asarray(rec_kkt)[: iters + 1]
@@ -850,4 +856,6 @@ def solve_class2_fused(prob: Class2Problem,
         restarts=np.asarray(rec_restart)[1: iters + 1],
         fail_count=int(fail), wall_time=time.perf_counter() - t0,
         inner_total=int(np.asarray(rec_isum)[1: iters + 1].sum()),
+        info_ncomp=np.asarray(rec_ncomp)[1: iters + 1],
+        info_last=np.asarray(rec_last)[1: iters + 1],
         polished=polished)
