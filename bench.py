@@ -89,6 +89,11 @@ def _bench_once(cls: str, inner: str):
     # (round-2 measurement: chunk=8 was 2.6x slower on chip).
     driver = os.environ.get("OTAMG_BENCH_DRIVER", "loop")
 
+    # Fused deep correction (round 5): one precomputed matrix per Newton
+    # solve, one GEMV per cycle — replaces the op-count-bound deep visit
+    # chain.  Trajectory-pinned (it=58/53 with the flag on).
+    fuse_deep = os.environ.get("OTAMG_BENCH_FUSE_DEEP", "1") == "1"
+
     if cls == "class1":
         from otamg.opt import solve_class1, solve_class1_chunked
         from otamg.ot import load_class1_mat as load, random_class1 as rnd
@@ -100,9 +105,9 @@ def _bench_once(cls: str, inner: str):
         # tested size/precision (it=58 here) with a linear-in-depth
         # visit tape — measured 12% faster at 500^2 and 1.9x at 1024^2
         # on the chip (round 4).
+        amg = AMGOptions(cycle=Cycle.F, fuse_deep=fuse_deep)
         opts = APDOptions(inner_solver=InnerSolver[inner],
-                          solve_dtype=solve_dtype,
-                          amg=AMGOptions(cycle=Cycle.F))
+                          solve_dtype=solve_dtype, amg=amg)
     else:
         from otamg.opt.apd2 import solve_class2, solve_class2_chunked
         from otamg.ot import load_class2_mat as load, random_class2 as rnd
@@ -113,11 +118,11 @@ def _bench_once(cls: str, inner: str):
         # Class-2 AMG budget maxit=40/smoth=10 (Class2/APD_SsN_Class2.m:
         # 80-81) — omitting it ran the weaker Class-1 budget, which the
         # fp32 TPU path cannot absorb (round-3 bench: converged=false).
+        amg = AMGOptions(maxit=40, smoth=10, cycle=Cycle.F,
+                         fuse_deep=fuse_deep)
         opts = APDOptions(inner_solver=InnerSolver[inner],
                           ssn_tol1=1e-10, solve_dtype=solve_dtype,
-                          amg=AMGOptions(maxit=40, smoth=10,
-                                         cycle=Cycle.F),
-                          feas_polish=True)
+                          amg=amg, feas_polish=True)
 
     try:
         prob = load(path, dtype=dtype)
@@ -130,19 +135,45 @@ def _bench_once(cls: str, inner: str):
     res = solve(prob, opts)
     cold_s = time.time() - t0
     ok = bool(res.converged)
-    value, warm_s = cold_s, None
+    value, warm = cold_s, []
 
-    # Warm re-time only when the child's own budget clearly allows another
-    # solve (warm ~ cold minus compile; 2x cold is a safe upper bound, and
-    # a 90 s floor covers the near-instant CPU case).
-    if ok and child_deadline:
-        left = child_deadline - time.time()
-        if left > max(90.0, 1.2 * cold_s - 60.0):
-            t0 = time.time()
-            res2 = solve(prob, opts)
-            warm_s = time.time() - t0
-            if bool(res2.converged):
-                res, value = res2, warm_s
+    # Warm samples (round-5 redesign, VERDICT item 1): ONE warm sample
+    # from a 7.9-71 s relay-noise distribution is not evidence.  Take >=3
+    # (up to 5 when the spread is bad and budget allows), with a short
+    # cooldown between samples for relay-queue hygiene, and report
+    # median + min + max + all samples.
+    COOLDOWN_S = float(os.environ.get("OTAMG_BENCH_COOLDOWN", 10))
+    want = int(os.environ.get("OTAMG_BENCH_WARM_SAMPLES", 3))
+    res_best = res
+    while ok and child_deadline:
+        have = len(warm)
+        spread_bad = (have >= 2 and min(warm) > 0
+                      and max(warm) / min(warm) > 2.0)
+        if have >= want and not (spread_bad and have < want + 2):
+            break
+        # Budget guard: first sample bounded by cold time (warm ~ cold
+        # minus compile); later samples by the fastest warm seen.
+        est = (max(90.0, 1.2 * cold_s - 60.0) if not warm
+               else max(60.0, 2.0 * min(warm) + COOLDOWN_S))
+        if child_deadline - time.time() <= est:
+            break
+        if warm:
+            time.sleep(COOLDOWN_S)
+        t0 = time.time()
+        res2 = solve(prob, opts)
+        dt = time.time() - t0
+        if bool(res2.converged):
+            warm.append(dt)
+            if dt <= min(warm):
+                res_best = res2
+        else:
+            break  # a non-converged warm solve: report the cold result
+
+    if warm:
+        res = res_best
+        value = sorted(warm)[len(warm) // 2] if len(warm) % 2 \
+            else 0.5 * (sorted(warm)[len(warm) // 2 - 1]
+                        + sorted(warm)[len(warm) // 2])
 
     value = value if ok else float("inf")
     out = {
@@ -156,9 +187,31 @@ def _bench_once(cls: str, inner: str):
         "platform": platform,
         "inner": inner,
         "driver": driver,
+        "fuse_deep": fuse_deep,
         "cold_s": round(cold_s, 3),
-        "warm_s": round(warm_s, 3) if warm_s is not None else None,
+        "warm_samples": [round(w, 3) for w in warm],
+        "warm_s": round(min(warm), 3) if warm else None,
+        "warm_median_s": round(value, 3) if warm else None,
+        "warm_spread": (round(max(warm) / min(warm), 2)
+                        if warm and min(warm) > 0 else None),
     }
+    # End-to-end roofline accounting (VERDICT item 6): modelled HBM
+    # bytes from the solve's own counters / measured wall time.
+    if ok:
+        try:
+            from otamg.amg.hierarchy import capacity_schedule
+            from otamg.diag.roofline import (roofline_report,
+                                             solve_bytes_model)
+
+            m, mn_n = int(prob.p.shape[0]), int(prob.q.shape[0])
+            caps = capacity_schedule(m, m + mn_n, amg)
+            gamma = {Cycle.V: 1, Cycle.W: 2, Cycle.F: 3}[amg.cycle]
+            model_b = solve_bytes_model(
+                m, mn_n, int(res.iters), int(res.ssn_itnum.sum()),
+                int(res.inner_total), amg.smoth, gamma, caps, fuse_deep)
+            out.update(roofline_report(model_b, value))
+        except Exception as exc:  # never let accounting kill the bench
+            out["roofline_error"] = repr(exc)[:200]
     print("BENCH_RESULT " + json.dumps(out), flush=True)
     return 0 if ok else 1
 
