@@ -1,13 +1,28 @@
 """Checkpoint / resume of APD solver state (SURVEY.md section 5.4: the
 reference has none; warm start is its only 'resume' analogue).
 
-State captured per outer iteration k: ``(X, V, lam, bk, key, k)`` — enough
-to resume the APD loop exactly.  Uses orbax when importable, with a NumPy
-``.npz`` fallback so checkpointing never becomes a hard dependency.
+State captured per outer iteration k: ``(X, V, lam, bk, key, k, resk)``
+— enough to resume the APD loop exactly (``resk``, the previous raw KKT
+residual, feeds the restart heuristic ``Class1/APD_SsN_Class1.m:245``).
+
+Two storage layouts:
+
+* **Single-process**: orbax when importable, NumPy ``.npz`` fallback.
+* **Multi-process (round 5)**: each process writes
+  ``step_{k}.proc{pid}of{np}.npz`` holding ONLY its addressable shards
+  (``jax.Array.addressable_shards``) plus index metadata; restore
+  reassembles global arrays against a TEMPLATE pytree's shardings via
+  ``jax.make_array_from_single_device_arrays``.  No cross-process
+  gather at save or load — each controller touches its own data, which
+  is what makes checkpointing work at all on non-fully-addressable
+  state (a plain ``np.asarray`` of such an array is rejected by JAX).
+  Requires the same process count / mesh topology at restore, which is
+  the standard elastic-resume contract for sharded checkpoints.
 """
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, NamedTuple, Optional
 
@@ -21,11 +36,33 @@ class APDState(NamedTuple):
     bk: Any
     key: Any
     k: int
+    resk: Any = None  # previous raw KKT residual (restart heuristic)
+
+
+def _is_multiprocess() -> bool:
+    import jax
+
+    return jax.process_count() > 1
+
+
+def _needs_shard_io(tree: dict) -> bool:
+    import jax
+
+    return any(isinstance(v, jax.Array) and not v.is_fully_addressable
+               for v in tree.values())
+
+
+def _index_key(idx) -> str:
+    """Canonical string key for a shard's global index (tuple of
+    slices)."""
+    return json.dumps([[s.start, s.stop] for s in idx])
 
 
 def save_dict(path: str, step: int, tree: dict) -> str:
     """Persist a flat dict of arrays for outer-iteration ``step``."""
     os.makedirs(path, exist_ok=True)
+    if _is_multiprocess() or _needs_shard_io(tree):
+        return _save_sharded(path, step, tree)
     try:
         import orbax.checkpoint as ocp
 
@@ -41,19 +78,101 @@ def save_dict(path: str, step: int, tree: dict) -> str:
         return target
 
 
-def load_dict(path: str, step: Optional[int] = None) -> dict:
+def _save_sharded(path: str, step: int, tree: dict) -> str:
+    """Per-process shard save (multi-controller safe)."""
+    import jax
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    data: dict[str, np.ndarray] = {}
+    meta: dict[str, list] = {}
+    for name, v in tree.items():
+        if (isinstance(v, jax.Array) and len(v.sharding.device_set) > 1
+                and v.sharding.is_fully_replicated):
+            # Replicated across the mesh (duals, scalars, PRNG keys):
+            # one local copy is the whole array; restore re-replicates
+            # it implicitly as a jit argument.
+            data[name] = np.asarray(v.addressable_shards[0].data)
+        elif isinstance(v, jax.Array) and len(v.sharding.device_set) > 1:
+            shards = sorted(v.addressable_shards,
+                            key=lambda s: tuple(sl.start or 0
+                                                for sl in s.index))
+            meta[name] = []
+            for si, s in enumerate(shards):
+                data[f"{name}__s{si}"] = np.asarray(s.data)
+                meta[name].append(_index_key(
+                    tuple(slice(sl.start or 0,
+                                sl.stop if sl.stop is not None
+                                else v.shape[d])
+                          for d, sl in enumerate(s.index))))
+        else:
+            data[name] = np.asarray(v)
+    target = os.path.join(path, f"step_{step}.proc{pid}of{nproc}.npz")
+    tmp = target + ".tmp.npz"  # savez appends .npz unless present
+    np.savez(tmp, k=step, __meta__=json.dumps(meta), **data)
+    os.replace(tmp, target)
+    return target
+
+
+def _load_sharded(path: str, step: int, template: Optional[dict]) -> dict:
+    """Load this process's shard file and reassemble global arrays
+    against ``template`` shardings (same process count / topology as the
+    save)."""
+    import jax
+    import jax.numpy as jnp
+
+    pid, nproc = jax.process_index(), jax.process_count()
+    target = os.path.join(path, f"step_{step}.proc{pid}of{nproc}.npz")
+    d = np.load(target)
+    meta = json.loads(str(d["__meta__"]))
+    out: dict[str, Any] = {"k": int(d["k"])}
+    for name in set(k.split("__s")[0] for k in d.files
+                    if k not in ("k", "__meta__")):
+        if name not in meta:
+            out[name] = jnp.asarray(d[name])
+            continue
+        t = (template or {}).get(name)
+        if t is None:
+            raise ValueError(
+                f"checkpoint array '{name}' was saved sharded; restore "
+                f"requires a template with its target sharding")
+        sh, gshape = t.sharding, t.shape
+        by_index = {idx: d[f"{name}__s{si}"]
+                    for si, idx in enumerate(meta[name])}
+        dmap = sh.devices_indices_map(tuple(gshape))
+        arrays = []
+        for dev in sh.addressable_devices:
+            idx = tuple(slice(sl.start or 0,
+                              sl.stop if sl.stop is not None
+                              else gshape[i])
+                        for i, sl in enumerate(dmap[dev]))
+            arrays.append(jax.device_put(
+                jnp.asarray(by_index[_index_key(idx)], t.dtype), dev))
+        out[name] = jax.make_array_from_single_device_arrays(
+            tuple(gshape), sh, arrays)
+    return out
+
+
+def load_dict(path: str, step: Optional[int] = None,
+              template: Optional[dict] = None) -> dict:
     import jax.numpy as jnp
 
     if step is None:
         step = latest_step(path)
         if step is None:
             raise FileNotFoundError(f"no checkpoints under {path}")
+    if _is_multiprocess():
+        return _load_sharded(path, step, template)
     npz = os.path.join(path, f"step_{step}.npz")
     if os.path.exists(npz):
         d = np.load(npz)
         out = {k: jnp.asarray(d[k]) for k in d.files if k != "k"}
         out["k"] = int(d["k"])
         return out
+    # A single-process restore of a sharded save (e.g. 1-proc rerun of a
+    # multi-proc run's artifacts) reassembles from all proc files.
+    proc0 = os.path.join(path, f"step_{step}.proc0of1.npz")
+    if os.path.exists(proc0):
+        return _load_sharded(path, step, template)
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()
@@ -63,9 +182,18 @@ def load_dict(path: str, step: Optional[int] = None) -> dict:
 
 
 def save_state(path: str, state: APDState) -> str:
-    return save_dict(path, state.k, dict(X=state.X, V=state.V,
-                                         lam=state.lam, bk=state.bk,
-                                         key=state.key))
+    tree = dict(X=state.X, V=state.V, lam=state.lam, bk=state.bk,
+                key=state.key)
+    if state.resk is not None:
+        tree["resk"] = state.resk
+    return save_dict(path, state.k, tree)
+
+
+def load_state(path: str, step: Optional[int] = None,
+               template: Optional[dict] = None) -> APDState:
+    d = load_dict(path, step, template)
+    return APDState(d["X"], d["V"], d["lam"], d["bk"], d["key"], d["k"],
+                    d.get("resk"))
 
 
 def latest_step(path: str) -> Optional[int]:
@@ -76,11 +204,6 @@ def latest_step(path: str) -> Optional[int]:
         if name.startswith("step_"):
             steps.append(int(name.split("_")[1].split(".")[0]))
     return max(steps) if steps else None
-
-
-def load_state(path: str, step: Optional[int] = None) -> APDState:
-    d = load_dict(path, step)
-    return APDState(d["X"], d["V"], d["lam"], d["bk"], d["key"], d["k"])
 
 
 def save_result(path: str, res) -> str:

@@ -416,13 +416,20 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
     k_start = 1
+    resk_restored = None
     if resume and checkpoint_dir is not None:
         from otamg.diag import checkpoint as ckpt
 
         if ckpt.latest_step(checkpoint_dir) is not None:
-            st = ckpt.load_state(checkpoint_dir)
+            # The warm-start state is the sharding template: X/V/lam
+            # restored onto exactly the placements the step expects
+            # (multi-process sharded restore needs them; see
+            # diag/checkpoint.py).
+            st = ckpt.load_state(checkpoint_dir,
+                                 template=dict(X=X, V=X, lam=lam))
             X, V, lam, bk, key = st.X, st.V, st.lam, st.bk, st.key
             k_start = st.k + 1
+            resk_restored = st.resk
 
     kkt_x = [kx0]
     kkt_l = [kl0]
@@ -444,7 +451,9 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
     # ~25 ms round trip per iteration.  Sync is therefore the default;
     # OTAMG_PIPELINE_FETCH=1 restores the pipelined mode.
     pipeline = os.environ.get("OTAMG_PIPELINE_FETCH", "0") == "1"
-    resk_dev = jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype)
+    resk_dev = (jnp.asarray(resk_restored, dtype)
+                if resk_restored is not None
+                else jnp.asarray(max(kkt_x[-1], kkt_l[-1]), dtype))
 
     def record(mtr_dev):
         nonlocal fail_total, inner_total
@@ -501,7 +510,8 @@ def solve_class1(prob: Class1Problem, opts: APDOptions = APDOptions(),
             from otamg.diag import checkpoint as ckpt
 
             ckpt.save_state(checkpoint_dir,
-                            ckpt.APDState(X, V, lam, bk, key, k))
+                            ckpt.APDState(X, V, lam, bk, key, k,
+                                          resk_dev))
     if pending is not None:
         kp, mtr_p = pending
         rr = record(mtr_p)
@@ -618,7 +628,8 @@ def solve_class1_chunked(prob: Class1Problem,
         from otamg.diag import checkpoint as ckpt
 
         if ckpt.latest_step(checkpoint_dir) is not None:
-            d = ckpt.load_dict(checkpoint_dir)
+            d = ckpt.load_dict(checkpoint_dir,
+                               template=dict(X=X, V=X, lam=lam))
             X, V, lam = d["X"], d["V"], d["lam"].astype(hi)
             bk, key = d["bk"], d["key"]
             resk = d["resk"].astype(dtype)

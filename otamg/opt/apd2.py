@@ -440,14 +440,20 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     key = jax.random.PRNGKey(opts.seed)
     bk = jnp.asarray(1.0, dtype)
     k_start = 1
+    prev_restored = None
     if resume and checkpoint_dir is not None:
         from otamg.diag import checkpoint as ckpt
 
         if ckpt.latest_step(checkpoint_dir) is not None:
-            d = ckpt.load_dict(checkpoint_dir)
+            # Warm-start state = sharding template (multi-process
+            # sharded restore; see diag/checkpoint.py).
+            d = ckpt.load_dict(checkpoint_dir,
+                               template=dict(X=X, us=us, VX=VX, vs=vs,
+                                             lam=lam))
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
             lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
             k_start = d["k"] + 1
+            prev_restored = d.get("prev")
 
     kkt_hist = [kkt0]
     fxk = [float(fx0)]
@@ -466,7 +472,9 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
     # mode (fetch k's metrics while k+1 executes; stop decision lags one
     # iteration and the converged state is restored from the saved
     # pre-dispatch state) — see the dispatch loop below.
-    prev_dev = jnp.asarray(kkt_hist[-1], dtype)
+    prev_dev = (jnp.asarray(prev_restored, dtype)
+                if prev_restored is not None
+                else jnp.asarray(kkt_hist[-1], dtype))
 
     def record(mtr_dev):
         nonlocal fail_total, inner_total
@@ -550,7 +558,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
 
             ckpt.save_dict(checkpoint_dir, k,
                            dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
-                                bk=bk, key=key))
+                                bk=bk, key=key, prev=prev_dev))
     if pending is not None:
         kp, mtr_p = pending
         kk = record(mtr_p)
@@ -681,7 +689,9 @@ def solve_class2_chunked(prob: Class2Problem,
         from otamg.diag import checkpoint as ckpt
 
         if ckpt.latest_step(checkpoint_dir) is not None:
-            d = ckpt.load_dict(checkpoint_dir)
+            d = ckpt.load_dict(checkpoint_dir,
+                               template=dict(X=X, us=us, VX=VX, vs=vs,
+                                             lam=lam))
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
             lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
             prev = d["prev_kkt"].astype(dtype)

@@ -72,6 +72,36 @@ def test_checkpoint_resume(tmp_path):
                                atol=1e-12)
 
 
+def test_sharded_checkpoint_roundtrip(tmp_path):
+    """Per-shard save/load (the multi-process layout) on a single
+    process with a mesh-sharded array: shards written per addressable
+    device, reassembled bit-exactly against a template sharding."""
+    import jax.numpy as jnp
+
+    from otamg.diag import checkpoint as ckpt
+    from otamg.dist import make_mesh
+
+    if len(jax.devices()) < 4:
+        import pytest
+
+        pytest.skip("needs >= 4 devices")
+    mesh = make_mesh(4)
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    sh = NamedSharding(mesh, PartitionSpec("x", None))
+    X = jax.device_put(jnp.arange(48.0).reshape(8, 6), sh)
+    lam = jnp.linspace(0.0, 1.0, 7)  # unsharded
+    path = str(tmp_path / "ck")
+    ckpt.save_dict(path, 10, dict(X=X, lam=lam, bk=jnp.float64(0.5)))
+    assert ckpt.latest_step(path) == 10
+    d = ckpt.load_dict(path, template=dict(X=X))
+    assert d["k"] == 10
+    np.testing.assert_array_equal(np.asarray(d["X"]), np.asarray(X))
+    assert d["X"].sharding == sh
+    np.testing.assert_array_equal(np.asarray(d["lam"]), np.asarray(lam))
+    assert float(d["bk"]) == 0.5
+
+
 def test_solver_report_and_plot(tmp_path):
     from otamg.diag import plot_run, solver_report
 
