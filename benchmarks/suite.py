@@ -21,7 +21,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(
 
 
 def run_class1(m, n, cycle, inner, mesh=None, label="",
-               explicit_dist=False, single=False):
+               explicit_dist=False, single=False, fuse_deep=False):
     import jax
 
     from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
@@ -36,7 +36,8 @@ def run_class1(m, n, cycle, inner, mesh=None, label="",
         prob = shard_class1(prob, mesh)
     opts = APDOptions(
         inner_solver=InnerSolver[inner], solve_dtype=solve_dtype,
-        amg=AMGOptions(cycle=Cycle[cycle]), explicit_dist=explicit_dist)
+        amg=AMGOptions(cycle=Cycle[cycle], fuse_deep=fuse_deep),
+        explicit_dist=explicit_dist)
     t0 = time.time()
     res = solve_class1(prob, opts)  # warm-up/compile
     dt = time.time() - t0
@@ -163,9 +164,14 @@ def main():
             from otamg.dist import make_mesh
 
             mesh = make_mesh(ndev)
-        run_class1(size, size, "W", "AMG", mesh=mesh,
+        # F-cycle + fused deep correction: trajectory-identical to the
+        # reference W (pinned in tests/test_fixture_trajectory.py) at a
+        # linear-in-depth tape — what makes a WARM cfg5 measurement fit
+        # the 2-core CPU budget (round-4 cold W run: 3607 s).
+        run_class1(size, size, "F", "AMG", mesh=mesh,
                    label=f"cfg5_class1_{size}_dist{ndev}_explicit",
-                   explicit_dist=True, single=args.single)
+                   explicit_dist=True, single=args.single,
+                   fuse_deep=True)
 
 
 if __name__ == "__main__":

@@ -117,6 +117,42 @@ class CSRLevel(NamedTuple):
     xx: jax.Array        # (N,)
 
 
+@jax.tree_util.register_pytree_node_class
+class HaloCSRLevel:
+    """Row-sharded sparse fine level: a :class:`CSRLevel` whose matvec
+    runs the halo-exchange distributed SpMV (``otamg/dist/spmv.py::
+    spmv_halo`` — bidirectional ``ppermute`` ring, interior compute
+    overlapped with the halo transfer).  The production consumer of the
+    halo path (round-4 verdict item 7): banded operators at
+    ``N >~ 1e5`` where replicating the vector (the all_gather scheme)
+    wastes ICI bandwidth the band structure doesn't need.
+
+    Static aux: ``(mesh, halo)`` — the mesh is topology, not data."""
+
+    __slots__ = ("ell_cols", "ell_vals", "dg", "labels", "nsp", "Axi",
+                 "xx", "mesh", "halo")
+
+    def __init__(self, ell_cols, ell_vals, dg, labels, nsp, Axi, xx,
+                 mesh, halo: int):
+        self.ell_cols, self.ell_vals, self.dg = ell_cols, ell_vals, dg
+        self.labels, self.nsp, self.Axi, self.xx = labels, nsp, Axi, xx
+        self.mesh, self.halo = mesh, halo
+
+    def tree_flatten(self):
+        return ((self.ell_cols, self.ell_vals, self.dg, self.labels,
+                 self.nsp, self.Axi, self.xx), (self.mesh, self.halo))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
+def halo_csr_matvec(lv: HaloCSRLevel, v: jax.Array) -> jax.Array:
+    from otamg.dist.spmv import spmv_halo
+
+    return spmv_halo(lv.mesh, lv.ell_cols, lv.ell_vals, v, lv.halo)
+
+
 Hierarchy = tuple  # (BipartiteLevel | DenseLevel | CSRLevel, tuple[...])
 
 
@@ -152,6 +188,8 @@ def _level0_ops(lv):
     """(matvec, smooth_apply) pair for a level-0 object of any type."""
     if isinstance(lv, BipartiteLevel):
         return bip_matvec, bip_smooth_apply
+    if isinstance(lv, HaloCSRLevel):
+        return halo_csr_matvec, csr_smooth_apply
     if isinstance(lv, CSRLevel):
         return csr_matvec, csr_smooth_apply
     return dense_matvec, dense_smooth_apply
@@ -566,7 +604,8 @@ def _build_dense_chain(A0, act0, lab0, nsp0, caps, opts: AMGOptions,
 def setup_hierarchy_generic(A, opts: AMGOptions,
                             key: jax.Array,
                             labels: jax.Array | None = None,
-                            nsp: jax.Array | None = None) -> Hierarchy:
+                            nsp: jax.Array | None = None,
+                            dist: tuple | None = None) -> Hierarchy:
     """Generic (non-bigph) hierarchy for an arbitrary SPD matrix:
     weighted-Jacobi fine-level smoothing and MIS/standard-interpolation
     coarsening from level 1 down (the reference's ``bigph=0`` path,
@@ -604,6 +643,22 @@ def setup_hierarchy_generic(A, opts: AMGOptions,
     if csr is not None and len(chain) > 1:
         head = CSRLevel(csr.ell_cols, csr.ell_vals, jnp.diag(head.A),
                         head.labels, head.nsp, head.Axi, head.xx)
+        if dist is not None:
+            # Row-shard the fine level over the mesh; every solve-phase
+            # fine matvec becomes the halo-exchange distributed SpMV.
+            mesh, halo = dist
+            from jax.sharding import NamedSharding, PartitionSpec
+
+            row = NamedSharding(mesh, PartitionSpec("x", None))
+            vec = NamedSharding(mesh, PartitionSpec("x"))
+            head = HaloCSRLevel(
+                jax.device_put(head.ell_cols, row),
+                jax.device_put(head.ell_vals, row),
+                jax.device_put(head.dg, vec),
+                jax.device_put(head.labels, vec),
+                jax.device_put(head.nsp, vec),
+                jax.device_put(head.Axi, vec),
+                jax.device_put(head.xx, vec), mesh, halo)
     return head, chain[1:]
 
 
@@ -916,27 +971,136 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
 
         if deep_D is not None:
             # Short path: the whole deep tape is the precomputed linear
-            # map ``deep_D`` (row-convention: e1 = r1 @ deep_D).
+            # map ``deep_D`` (math convention: e1 = deep_D @ r1).
             carry = branches[id_of[("pre", 0)]]((e0, r_init))
             carry = branches[id_of[("down", 0)]](carry)
             es, rs = list(carry[0]), list(carry[1])
-            es[1] = jnp.matmul(rs[1], deep_D, precision=_P)
+            es[1] = _mm(deep_D, rs[1])
             carry = branches[id_of[("up", 0)]]((tuple(es), tuple(rs)))
             return carry[0][0]
 
         (es, _), _ = lax.scan(body, (e0, r_init), tape_codes)
         return es[0]
 
+    def _deep_algebraic(dense: Sequence[DenseLevel], dtype):
+        """Bottom-up algebraic build of the deep matrix ``D`` (math
+        convention: ``e1 = D @ r1``) from per-level closed forms — pure
+        GEMMs on the MXU, no scatters and no scanned tape.
+
+        Every deep-tape op has a dense matrix form: the (projected)
+        Jacobi sweep is ``e' = G1 e + B1 r`` with the kernel projections
+        expressed through label-equality masks (``eq_ij = [lab_i =
+        lab_j]``), a smoothing phase is the ``smoth_it``-fold composite,
+        a visit is the classic two-grid composition ``C = Gp (Hp +
+        P D_next P^T (I - A Hp)) + Hp``, the warm-started W/F revisit is
+        ``D = C + C' (I - A C)``, and the coarse solve is
+        ``evecs diag(einv) evecs^T`` (+ deflation projector).  Exact
+        arithmetic matches the tape op-for-op; rounding differs (pins
+        re-verified).  Replaces the vmapped-tape build whose batched
+        segment-sum scatters measured 160 ms of pure overhead at
+        4096-node scale (benchmarks/NEWTON_tpu.jsonl round-5 rows)."""
+        phase_cache: dict = {}
+        node_cache: dict = {}
+
+        def proj_parts(lv, cap):
+            xi = lv.nsp.astype(dtype)
+            eq = (lv.labels[:, None] == lv.labels[None, :]).astype(dtype)
+            return xi, eq * xi[None, :]
+
+        def phase_ops(idx):
+            if idx in phase_cache:
+                return phase_cache[idx]
+            lv = dense[idx]
+            A = lv.A.astype(dtype)
+            cap = A.shape[0]
+            I = jnp.eye(cap, dtype=dtype)
+            K = 0.5 / jnp.diag(A)
+            xi, xmat = proj_parts(lv, cap)
+            if deflated:
+                cnt = jnp.sum(xmat, axis=1)  # = cnt[labels], gathered
+                safe = jnp.where(cnt > 0, cnt, 1.0)
+                Pm = (xi / safe)[:, None] * xmat
+                IKA = I - K[:, None] * A
+                G1 = IKA - _mm(Pm, IKA)          # Q (I - K A)
+                B1 = jnp.diag(K) - Pm * K[None, :]  # Q diag(K)
+            else:
+                safe_xx = jnp.where(jnp.abs(lv.xx) > 0, lv.xx,
+                                    1.0).astype(dtype)
+                Wm = (xi / safe_xx)[:, None] * xmat
+                M = (xi[:, None] * Wm
+                     + K[:, None] * (I - lv.Axi.astype(dtype)[:, None]
+                                     * Wm))
+                G1 = I - _mm(M, A)
+                B1 = M
+            Gp, Hp = I, jnp.zeros_like(I)
+            for _ in range(smoth_it):
+                Gp = _mm(G1, Gp)
+                Hp = _mm(G1, Hp) + B1
+            phase_cache[idx] = (Gp, Hp)
+            return Gp, Hp
+
+        def coarse_matrix(lv):
+            C = _mm(lv.evecs * lv.einv[None, :], lv.evecs.T)
+            if deflated:
+                xi, xmat = proj_parts(lv, C.shape[0])
+                cnt = jnp.sum(xmat, axis=1)
+                safe = jnp.where(cnt > 0, cnt, 1.0)
+                Pm = (xi / safe)[:, None] * xmat
+                C = C - _mm(Pm, C)
+            return C.astype(dtype)
+
+        last = len(dense) - 1
+
+        def visit(idx, g):
+            key = ("v", idx, g)
+            if key in node_cache:
+                return node_cache[key]
+            Gp, Hp = phase_ops(idx)
+            Dn = deep(idx + 1, g)
+            A = dense[idx].A.astype(dtype)
+            P = dense[idx + 1].P.astype(dtype)
+            I = jnp.eye(A.shape[0], dtype=dtype)
+            T = _mm(P.T, I - _mm(A, Hp))
+            M2 = Hp + _mm(P, _mm(Dn, T))
+            C = _mm(Gp, M2) + Hp
+            node_cache[key] = C
+            return C
+
+        def deep(idx, g):
+            key = ("d", idx, g)
+            if key in node_cache:
+                return node_cache[key]
+            if idx == last:
+                D = coarse_matrix(dense[idx])
+            else:
+                C = visit(idx, g)
+                if g >= 2:
+                    C2 = visit(idx, 1 if g == 3 else g)
+                    A = dense[idx].A.astype(dtype)
+                    I = jnp.eye(A.shape[0], dtype=dtype)
+                    D = C + _mm(C2, I - _mm(A, C))
+                else:
+                    D = C
+            node_cache[key] = D
+            return D
+
+        return deep(0, gamma)
+
     def build_deep(lv1, dense: Sequence[DenseLevel], dtype):
         """Materialize the deep sub-tape as a ``(cap1, cap1)`` matrix
-        ``M`` with ``M[j] = deep(e_j)`` (so ``deep(r) = r @ M``), or
-        return ``None`` when fusing cannot pay (fewer than 2 dense
-        levels).  Runs the EXACT sub-tape (same branches, scan and
-        rounding semantics) on each basis vector; vmap turns its GEMVs
-        into GEMMs, so the build is MXU-bound and costs about one deep
-        tape traversal total."""
+        ``D`` (math convention: ``e1 = D @ r1``), or return ``None``
+        when fusing cannot pay (fewer than 2 dense levels).
+
+        Primary path: closed-form bottom-up composition
+        (:func:`_deep_algebraic` — pure MXU GEMMs).  Fallback (non-dense
+        deep chain or PCG coarse solve): vmap the EXACT sub-tape over
+        identity columns."""
         if not can_fuse:
             return None
+        if (coarse_direct and all(isinstance(lv, DenseLevel)
+                                  for lv in dense)
+                and dense[-1].evecs.shape[0] > 0):
+            return _deep_algebraic(dense, dtype)
         cap1 = dense[0].A.shape[0]
 
         def deep_fn(r1):
@@ -985,7 +1149,9 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
             (es, _), _ = lax.scan(body, (es, rs), deep_codes)
             return es[1]
 
-        return jax.vmap(deep_fn)(jnp.eye(cap1, dtype=dtype))
+        # vmap rows are deep(e_j) = columns of D; transpose to the math
+        # convention e1 = D @ r1.
+        return jax.vmap(deep_fn)(jnp.eye(cap1, dtype=dtype)).T
 
     cycle.build_deep = build_deep
     return cycle
@@ -1074,13 +1240,24 @@ def amg_solve(lv1: BipartiteLevel | DenseLevel,
 def amg_solve_matrix(A: jax.Array, b: jax.Array,
                      opts: AMGOptions = AMGOptions(),
                      guess: jax.Array | None = None,
-                     key: jax.Array | None = None) -> AMGSolveResult:
+                     key: jax.Array | None = None,
+                     dist: tuple | None = None) -> AMGSolveResult:
     """Standalone generic AMG solve of ``A x = b`` for an SPD dense
     matrix — the reference's ``Class_AMG.m`` entry point with ``bigph=0``
-    (weighted-Jacobi fine smoothing, MIS coarsening throughout)."""
+    (weighted-Jacobi fine smoothing, MIS coarsening throughout).
+
+    ``dist=(mesh, halo)`` with a CSR input row-shards the fine level over
+    the mesh and runs every fine matvec through the halo-exchange
+    distributed SpMV (:class:`HaloCSRLevel`)."""
     if key is None:
         key = jax.random.PRNGKey(0)
     if guess is None:
         guess = jnp.zeros_like(b)
-    lv0, rest = setup_hierarchy_generic(A, opts, key)
+    lv0, rest = setup_hierarchy_generic(A, opts, key, dist=dist)
+    if isinstance(lv0, HaloCSRLevel):
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        vec = NamedSharding(lv0.mesh, PartitionSpec("x"))
+        b = jax.device_put(b, vec)
+        guess = jax.device_put(guess, vec)
     return amg_solve(lv0, rest, b, guess, opts)
