@@ -15,4 +15,5 @@ from otamg.amg.hierarchy import (  # noqa: F401
     make_cycle,
     setup_hierarchy,
     setup_hierarchy_generic,
+    setup_hierarchy_sparse,
 )

@@ -153,7 +153,43 @@ def halo_csr_matvec(lv: HaloCSRLevel, v: jax.Array) -> jax.Array:
     return spmv_halo(lv.mesh, lv.ell_cols, lv.ell_vals, v, lv.halo)
 
 
+@jax.tree_util.register_pytree_node_class
+class AggCSRLevel:
+    """Intermediate SPARSE level produced by consecutive-block
+    aggregation (:func:`setup_hierarchy_sparse`): same array fields as
+    :class:`CSRLevel` plus the static aggregation factor ``agg`` of the
+    transfer from its PARENT — restriction is a ``reshape(-1,
+    agg).sum(1)`` and prolongation a ``repeat``, so no interpolation
+    matrix is ever materialized at large N."""
+
+    __slots__ = ("ell_cols", "ell_vals", "dg", "labels", "nsp", "Axi",
+                 "xx", "agg")
+
+    def __init__(self, ell_cols, ell_vals, dg, labels, nsp, Axi, xx,
+                 agg: int):
+        self.ell_cols, self.ell_vals, self.dg = ell_cols, ell_vals, dg
+        self.labels, self.nsp, self.Axi, self.xx = labels, nsp, Axi, xx
+        self.agg = agg
+
+    def tree_flatten(self):
+        return ((self.ell_cols, self.ell_vals, self.dg, self.labels,
+                 self.nsp, self.Axi, self.xx), (self.agg,))
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, *aux)
+
+
 Hierarchy = tuple  # (BipartiteLevel | DenseLevel | CSRLevel, tuple[...])
+
+
+def _lvl_size(lv) -> int:
+    """Node count of a level object of any type."""
+    if isinstance(lv, BipartiteLevel):
+        return lv.g.shape[0]
+    if isinstance(lv, (CSRLevel, HaloCSRLevel, AggCSRLevel)):
+        return lv.dg.shape[0]
+    return lv.A.shape[0]
 
 
 # ---------------------------------------------------------------------------
@@ -185,12 +221,13 @@ def csr_smooth_apply(lv: CSRLevel, r: jax.Array,
 
 
 def _level0_ops(lv):
-    """(matvec, smooth_apply) pair for a level-0 object of any type."""
+    """(matvec, smooth_apply) pair for a level object of any type (the
+    name is historical — sparse levels can now appear at any depth)."""
     if isinstance(lv, BipartiteLevel):
         return bip_matvec, bip_smooth_apply
     if isinstance(lv, HaloCSRLevel):
         return halo_csr_matvec, csr_smooth_apply
-    if isinstance(lv, CSRLevel):
+    if isinstance(lv, (CSRLevel, AggCSRLevel)):
         return csr_matvec, csr_smooth_apply
     return dense_matvec, dense_smooth_apply
 
@@ -662,6 +699,119 @@ def setup_hierarchy_generic(A, opts: AMGOptions,
     return head, chain[1:]
 
 
+def _agg_galerkin_ell(cols, vals, k: int, out_cap: int):
+    """Galerkin product for unit consecutive-block aggregation on ELL:
+    with ``P[i, i//k] = 1``, every fine entry ``(i, j, v)`` maps to the
+    coarse entry ``(i//k, j//k, v)`` — rows grouped ``k``-at-a-time,
+    columns integer-divided, duplicates merged.  Pure reshapes/gathers;
+    no interpolation matrix is materialized."""
+    from otamg.dist.assembly import ell_row_sum_duplicates
+
+    N, rc = cols.shape
+    Nc = -(-N // k)
+    pad = Nc * k - N
+    if pad:
+        cols = jnp.concatenate(
+            [cols, jnp.zeros((pad, rc), cols.dtype)])
+        vals = jnp.concatenate(
+            [vals, jnp.zeros((pad, rc), vals.dtype)])
+    gc = (cols // k).astype(cols.dtype).reshape(Nc, k * rc)
+    gv = vals.reshape(Nc, k * rc)
+    out_c, out_v, ngmax = ell_row_sum_duplicates(gc, gv, out_cap)
+    return out_c, out_v, ngmax, Nc
+
+
+def setup_hierarchy_sparse(csr, opts: AMGOptions, key: jax.Array,
+                           agg: int = 2, dense_crossover: int = 1024,
+                           dist: tuple | None = None) -> Hierarchy:
+    """Sparse-setup hierarchy for LARGE SPD operators (``N >~ 1e5``)
+    where the generic path's setup-time densification
+    (:func:`setup_hierarchy_generic`) no longer fits memory.
+
+    Coarsening above ``dense_crossover`` uses unit consecutive-block
+    aggregation (factor ``agg``): the Galerkin product is an ELL
+    reshape+merge (:func:`_agg_galerkin_ell`), restriction a block
+    row-sum and prolongation a repeat — O(nnz) setup, no MIS and no
+    interpolation matrices.  At/below the crossover the operator is
+    densified and the reference MIS/standard-interpolation chain
+    (``transfer.m:41-66``) takes over, ending in the eigensolved coarse
+    level.  Intended for Laplacian-like banded operators with a trivial
+    near-kernel (labels/nsp are not tracked through the aggregation
+    levels); the OT product path keeps its dense reference-faithful
+    setup.
+
+    ``dist=(mesh, halo)`` row-shards the FINE level so every fine
+    matvec runs the halo-exchange SpMV (:class:`HaloCSRLevel`).
+    """
+    cols, vals = csr.ell_cols, csr.ell_vals
+    N = cols.shape[0]
+    dtype = vals.dtype
+
+    def diag_of(c, v, n):
+        return jnp.sum(v * (c == jnp.arange(n, dtype=c.dtype)[:, None]),
+                       axis=1)
+
+    def mk_sparse_level(c, v, n, k):
+        z = jnp.zeros(n, jnp.int32)
+        f = jnp.zeros(n, bool)
+        one = jnp.ones(n, dtype)
+        dg = diag_of(c, v, n)
+        if k is None:
+            return CSRLevel(c, v, dg, z, f, one, one)
+        return AggCSRLevel(c, v, dg, z, f, one, one, k)
+
+    head = mk_sparse_level(cols, vals, N, None)
+    if dist is not None:
+        mesh, halo = dist
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        row = NamedSharding(mesh, PartitionSpec("x", None))
+        vec = NamedSharding(mesh, PartitionSpec("x"))
+        head = HaloCSRLevel(
+            jax.device_put(head.ell_cols, row),
+            jax.device_put(head.ell_vals, row),
+            jax.device_put(head.dg, vec), jax.device_put(head.labels, vec),
+            jax.device_put(head.nsp, vec), jax.device_put(head.Axi, vec),
+            jax.device_put(head.xx, vec), mesh, halo)
+
+    chain: list = []
+    c, v, n = cols, vals, N
+    while n > dense_crossover:
+        out_cap = c.shape[1] + 2
+        c, v, ngmax, n = _agg_galerkin_ell(c, v, agg, out_cap)
+        if int(ngmax) > out_cap:
+            raise ValueError(
+                f"aggregation Galerkin overflow: {int(ngmax)} distinct "
+                f"coarse columns > capacity {out_cap} (operator not "
+                f"banded enough for the sparse path)")
+        if n > dense_crossover:
+            chain.append(mk_sparse_level(c, v, n, agg))
+
+    # Densify the crossover operator and hand over to the reference
+    # MIS/standard-interpolation dense chain.
+    rows = jnp.broadcast_to(jnp.arange(n, dtype=jnp.int32)[:, None],
+                            c.shape)
+    Ad = jnp.zeros((n, n), dtype).at[rows, c].add(v)
+    caps = [n]
+    target = (opts.coarse_target if opts.coarse_target is not None
+              else _coarse_target(N))
+    while caps[-1] > target and len(caps) < opts.max_levels:
+        caps.append(int(math.ceil(opts.coarsen_ratio * caps[-1])))
+    dchain = list(_build_dense_chain(Ad, jnp.ones(n, bool),
+                                     jnp.zeros(n, jnp.int32),
+                                     jnp.zeros(n, bool), caps, opts,
+                                     key, n))
+    # The dense head's transfer from the last sparse level is the unit
+    # aggregation matrix, materialized (small: <= agg*crossover rows);
+    # identity when no aggregation happened (N already at crossover).
+    nf_prev = _lvl_size(chain[-1]) if chain else N
+    P_agg = (jnp.eye(n, dtype=dtype) if nf_prev == n
+             else jnp.repeat(jnp.eye(n, dtype=dtype), agg,
+                             axis=0)[:nf_prev])
+    dchain[0] = dchain[0]._replace(P=P_agg)
+    return head, tuple(chain) + tuple(dchain)
+
+
 def _coarsen_dense(A, active, labels, nsp, cap_next: int,
                    opts: AMGOptions, key: jax.Array, nseg: int):
     """One MIS + standard-interpolation + Galerkin coarsening step
@@ -897,8 +1047,10 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
         mv0, sm0 = _level0_ops(lv1)
 
         def lvl_matvec(l, v):
-            return mv0(levels[l], v) if l == 0 \
-                else dense_matvec(levels[l], v)
+            if l == 0:
+                return mv0(levels[l], v)
+            mv, _ = _level0_ops(levels[l])
+            return mv(levels[l], v)
 
         def lvl_smooth(l, e, r, transpose, e_is_zero=False):
             if l == 0:
@@ -912,8 +1064,8 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
                 return _projected_smooth(mv0, sm0, levels[l], e, r,
                                          smoth_it, transpose, nseg,
                                          deflated)
-            return _projected_smooth(dense_matvec, dense_smooth_apply,
-                                     levels[l], e, r, smoth_it,
+            mv, sm = _level0_ops(levels[l])
+            return _projected_smooth(mv, sm, levels[l], e, r, smoth_it,
                                      transpose, nseg, deflated)
 
         def restrict(l, rr):
@@ -921,15 +1073,28 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
             if l == 0 and bip0:
                 n = lv1.W.shape[0]
                 return rr[n:] + _mm(lv1.W.T, rr[:n])
-            return _mm(levels[l + 1].P.T, rr)
+            child = levels[l + 1]
+            if isinstance(child, AggCSRLevel):
+                # Consecutive-block aggregation: P^T is a block row-sum.
+                k, nc = child.agg, child.dg.shape[0]
+                pad = nc * k - rr.shape[0]
+                if pad:
+                    rr = jnp.concatenate([rr, jnp.zeros(pad, rr.dtype)])
+                return rr.reshape(nc, k).sum(axis=1)
+            return _mm(child.P.T, rr)
 
         def prolong(l, ec):
             # from level l+1 back to l
             if l == 0 and bip0:
                 return jnp.concatenate([_mm(lv1.W, ec), ec])
-            return _mm(levels[l + 1].P, ec)
+            child = levels[l + 1]
+            if isinstance(child, AggCSRLevel):
+                k = child.agg
+                nf = _lvl_size(levels[l])
+                return jnp.repeat(ec, k)[:nf]
+            return _mm(child.P, ec)
 
-        shapes = [n_plus_m] + [lv.A.shape[0] for lv in dense]
+        shapes = [n_plus_m] + [_lvl_size(lv) for lv in dense]
         e0 = tuple(jnp.zeros(s, dtype) for s in shapes)
         r_init = tuple(
             r0 if i == 0 else jnp.zeros(s, dtype)
@@ -1097,9 +1262,9 @@ def make_cycle(num_dense: int, smoth_it: int, gamma: int, nseg: int,
         identity columns."""
         if not can_fuse:
             return None
-        if (coarse_direct and all(isinstance(lv, DenseLevel)
-                                  for lv in dense)
-                and dense[-1].evecs.shape[0] > 0):
+        if not all(isinstance(lv, DenseLevel) for lv in dense):
+            return None  # sparse deep levels: run the full tape
+        if coarse_direct and dense[-1].evecs.shape[0] > 0:
             return _deep_algebraic(dense, dtype)
         cap1 = dense[0].A.shape[0]
 

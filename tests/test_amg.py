@@ -379,6 +379,70 @@ def test_generic_amg_halo_csr_fine_level():
                                rtol=1e-11, atol=1e-13)
 
 
+def _banded_ell(N, shift=0.01):
+    """1-D Laplacian + shift as padded ELL arrays (tridiagonal)."""
+    import scipy.sparse as sp
+
+    A = sp.diags([-np.ones(N - 1), np.full(N, 2.0 + shift),
+                  -np.ones(N - 1)], [-1, 0, 1]).tocsr()
+    rc = 3
+    cols = np.zeros((N, rc), np.int32)
+    vals = np.zeros((N, rc))
+    for i in range(N):
+        s, e = A.indptr[i], A.indptr[i + 1]
+        cols[i, :e - s] = A.indices[s:e]
+        vals[i, :e - s] = A.data[s:e]
+    from otamg.sparse import CSR
+
+    return A, CSR(indptr=jnp.asarray(A.indptr),
+                  ell_cols=jnp.asarray(cols),
+                  ell_vals=jnp.asarray(vals), shape=(N, N))
+
+
+def test_sparse_aggregation_hierarchy_large_banded():
+    """Sparse-setup path (``setup_hierarchy_sparse``): aggregation
+    coarsening above the dense crossover keeps setup O(nnz), so the
+    hierarchy builds at sizes where the generic path's densification
+    cannot.  The solve must reach the direct solution; with
+    ``dist=(mesh, halo)`` every fine matvec is the halo-exchange SpMV
+    and the result must be identical."""
+    import scipy.sparse.linalg as spl
+
+    from otamg.amg.hierarchy import (AggCSRLevel, HaloCSRLevel,
+                                     amg_solve, setup_hierarchy_sparse)
+    from otamg.config import AMGOptions, Cycle
+
+    N = 16384
+    A, csr = _banded_ell(N)
+    opts = AMGOptions(maxit=60, cycle=Cycle.W, coarse_target=64,
+                      retol=1e-10)
+    lv0, rest = setup_hierarchy_sparse(csr, opts, jax.random.PRNGKey(0),
+                                       agg=2, dense_crossover=1024)
+    assert any(isinstance(lv, AggCSRLevel) for lv in rest)
+    rng = np.random.default_rng(3)
+    b = jnp.asarray(rng.standard_normal(N))
+    res = amg_solve(lv0, rest, b, jnp.zeros(N), opts)
+    want = spl.spsolve(A.tocsc(), np.asarray(b))
+    err = np.linalg.norm(np.asarray(res.x) - want) / np.linalg.norm(want)
+    assert err < 1e-8, f"err {err:.2e} after {int(res.iters)} cycles"
+
+    if len(jax.devices()) >= 4:
+        from otamg.dist import make_mesh
+
+        mesh = make_mesh(4)
+        lv0h, resth = setup_hierarchy_sparse(
+            csr, opts, jax.random.PRNGKey(0), agg=2,
+            dense_crossover=1024, dist=(mesh, 1))
+        assert isinstance(lv0h, HaloCSRLevel)
+        bh = jax.device_put(b, jax.sharding.NamedSharding(
+            mesh, jax.sharding.PartitionSpec("x")))
+        resh = amg_solve(lv0h, resth, bh, jnp.zeros_like(bh), opts)
+        assert int(resh.iters) == int(res.iters)
+        np.testing.assert_allclose(np.asarray(resh.x),
+                                   np.asarray(res.x), rtol=1e-11,
+                                   atol=1e-13)
+
+
 @pytest.mark.slow
 def test_extreme_bk1_newton_system_refines():
     """Regression: the it=40 Newton system from the TPU fp32 trajectory
