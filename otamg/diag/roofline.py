@@ -92,10 +92,13 @@ def solve_bytes_model(m: int, n: int, iters: int, ssn_total: int,
                      * caps[l - 1] ** 2 * solve_itemsize
                      for l, v in visits.items())
     if fuse_deep and len(caps) >= 2:
-        # One D GEMV per cycle + one tape traversal (the batched D
-        # build) per Newton solve.
+        # One D GEMV per cycle + the algebraic build per Newton solve
+        # (closed-form GEMM composition: ~smoth phase-power GEMMs + ~10
+        # composition GEMMs per level, each touching ~cap^2 operands).
+        build_bytes = ((smoth + 10) * sum(c * c for c in caps)
+                       * solve_itemsize)
         deep = (cycles_total * caps[0] ** 2 * solve_itemsize
-                + newton_solves * tape_bytes)
+                + newton_solves * build_bytes)
     else:
         deep = cycles_total * tape_bytes
 
