@@ -105,10 +105,17 @@ def _setup_jax(args):
 
         import otamg
 
-        root = os.path.dirname(os.path.dirname(os.path.abspath(
-            otamg.__file__)))
-        jax.config.update("jax_compilation_cache_dir",
-                          os.path.join(root, ".jax_cache"))
+        # OTAMG_NO_COMPILE_CACHE=1 keeps the persistent cache off — the
+        # on-disk cache is shared by every process using this repo, and
+        # a crash mid-write can poison it (a corrupted entry SEGFAULTS
+        # jax's zstd read path); the test suite sets this because
+        # cli.main() called in-process would otherwise enable the cache
+        # for the whole pytest session.
+        if os.environ.get("OTAMG_NO_COMPILE_CACHE") != "1":
+            root = os.path.dirname(os.path.dirname(os.path.abspath(
+                otamg.__file__)))
+            jax.config.update("jax_compilation_cache_dir",
+                              os.path.join(root, ".jax_cache"))
     except Exception:
         pass
     import jax.numpy as jnp

@@ -5,6 +5,11 @@ fp64 enabled, so distributed code paths are exercised without TPU hardware
 import os
 
 os.environ["JAX_PLATFORMS"] = "cpu"  # force: the outer env pins a TPU tunnel
+# Keep the shared on-disk compile cache OUT of the test process: an
+# in-process cli.main() call would otherwise enable it session-wide,
+# and a corrupted entry (crash mid-write by any concurrent process)
+# segfaults jax's cache read path.  CPU compiles here are cheap.
+os.environ["OTAMG_NO_COMPILE_CACHE"] = "1"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
