@@ -110,6 +110,25 @@ def run(name):
             out["warm_s"] = min(warm)
             out["warm_median_s"] = sorted(warm)[len(warm) // 2]
             out["warm_iters"] = int(res2.iters)
+    # End-to-end roofline accounting (same model as bench.py).
+    if res.converged:
+        try:
+            from otamg.amg.hierarchy import capacity_schedule
+            from otamg.diag.roofline import (roofline_report,
+                                             solve_bytes_model)
+
+            out["ssn_total"] = int(res.ssn_itnum.sum())
+            out["cycles_total"] = int(res.inner_total)
+            amg = opts.amg
+            caps = capacity_schedule(size, 2 * size, amg)
+            gamma = {Cycle.V: 1, Cycle.W: 2, Cycle.F: 3}[amg.cycle]
+            model_b = solve_bytes_model(
+                size, size, int(res.iters), out["ssn_total"],
+                out["cycles_total"], amg.smoth, gamma, caps, fuse)
+            wall = out.get("warm_s") or cold_s
+            out.update(roofline_report(model_b, wall))
+        except Exception as exc:
+            out["roofline_error"] = repr(exc)[:200]
     record(**out)
     return 0 if res.converged else 1
 
