@@ -72,10 +72,12 @@ def test_checkpoint_resume(tmp_path):
                                atol=1e-12)
 
 
-def test_sharded_checkpoint_roundtrip(tmp_path):
-    """Per-shard save/load (the multi-process layout) on a single
-    process with a mesh-sharded array: shards written per addressable
-    device, reassembled bit-exactly against a template sharding."""
+def test_sharded_checkpoint_roundtrip(tmp_path, monkeypatch):
+    """Per-shard save/load (the multi-process layout, forced on a single
+    process by patching the process-count probe): shards written per
+    addressable device with index metadata, reassembled bit-exactly
+    against a template sharding via
+    make_array_from_single_device_arrays."""
     import jax.numpy as jnp
 
     from otamg.diag import checkpoint as ckpt
@@ -85,19 +87,26 @@ def test_sharded_checkpoint_roundtrip(tmp_path):
         import pytest
 
         pytest.skip("needs >= 4 devices")
+    monkeypatch.setattr(ckpt, "_is_multiprocess", lambda: True)
     mesh = make_mesh(4)
     from jax.sharding import NamedSharding, PartitionSpec
 
     sh = NamedSharding(mesh, PartitionSpec("x", None))
     X = jax.device_put(jnp.arange(48.0).reshape(8, 6), sh)
+    rep = jax.device_put(jnp.linspace(0.0, 1.0, 7),
+                         NamedSharding(mesh, PartitionSpec()))
     lam = jnp.linspace(0.0, 1.0, 7)  # unsharded
     path = str(tmp_path / "ck")
-    ckpt.save_dict(path, 10, dict(X=X, lam=lam, bk=jnp.float64(0.5)))
+    ckpt.save_dict(path, 10, dict(X=X, rep=rep, lam=lam,
+                                  bk=jnp.float64(0.5)))
     assert ckpt.latest_step(path) == 10
+    assert os.path.exists(os.path.join(path, "step_10.proc0of1.npz"))
     d = ckpt.load_dict(path, template=dict(X=X))
     assert d["k"] == 10
     np.testing.assert_array_equal(np.asarray(d["X"]), np.asarray(X))
     assert d["X"].sharding == sh
+    # Fully-replicated arrays round-trip as one local copy.
+    np.testing.assert_array_equal(np.asarray(d["rep"]), np.asarray(rep))
     np.testing.assert_array_equal(np.asarray(d["lam"]), np.asarray(lam))
     assert float(d["bk"]) == 0.5
 
