@@ -50,6 +50,30 @@ def test_class1_fixture_it58(class1_fixture_path, solve_dtype, cycle, fuse):
     assert not res.restarts.any()
 
 
+_TPU_TRAJ_CHILD = """
+import json, sys
+import jax
+jax.config.update("jax_enable_x64", True)
+from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
+from otamg.opt.apd2 import solve_class2
+from otamg.ot import load_class2_mat
+from otamg.dist import make_mesh, shard_class2
+
+polish = sys.argv[1] == "1"
+prob = load_class2_mat(sys.argv[2])
+prob = shard_class2(prob, make_mesh(4))  # 500 % 4 == 0
+opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
+                  solve_dtype="float32",
+                  amg=AMGOptions(maxit=40, smoth=10, cycle=Cycle.F,
+                                 fuse_deep=True),
+                  feas_polish=polish)
+res = solve_class2(prob, opts)
+print("CHILD " + json.dumps(dict(
+    converged=bool(res.converged), iters=int(res.iters),
+    fails=int(res.fail_count), polished=bool(res.polished))))
+"""
+
+
 @pytest.mark.parametrize("polish,want_it", [(False, 53), (True, 47)])
 def test_class2_tpu_trajectory(class2_fixture_path, polish, want_it):
     """Contract tests for the paths the bench runs on the chip (round-4
@@ -66,28 +90,37 @@ def test_class2_tpu_trajectory(class2_fixture_path, polish, want_it):
       accepts at it=47, as the r4/r5 polished chip records show.
 
     Tail regressions on the TPU path fail here in CI, not on the chip.
+    Runs in a SUBPROCESS: compiling this large sharded program inside a
+    pytest process that already compiled ~70 others segfaulted XLA:CPU
+    sporadically (three distinct crash sites across runs — cache write,
+    cache read, backend_compile — all at this test, never standalone).
     """
+    import json
+    import subprocess
+    import sys
+
     _skip_unless(class2_fixture_path)
     import jax
 
     if len(jax.devices()) < 4:
         pytest.skip("needs a 4-device mesh")
-    from otamg.dist import make_mesh, shard_class2
-
-    prob = load_class2_mat(class2_fixture_path)
-    prob = shard_class2(prob, make_mesh(4))  # 500 % 4 == 0
-    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
-                      solve_dtype="float32",
-                      amg=AMGOptions(maxit=40, smoth=10, cycle=Cycle.F,
-                                     fuse_deep=True),
-                      feas_polish=polish)
-    res = solve_class2(prob, opts)
-    assert res.converged
-    assert res.iters == want_it, \
-        f"TPU-path drift: it={res.iters} != {want_it}"
-    assert res.polished == polish
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               OTAMG_NO_COMPILE_CACHE="1")
+    proc = subprocess.run(
+        [sys.executable, "-c", _TPU_TRAJ_CHILD,
+         "1" if polish else "0", class2_fixture_path],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = next(json.loads(l[6:]) for l in proc.stdout.splitlines()
+               if l.startswith("CHILD "))
+    assert rep["converged"]
+    assert rep["iters"] == want_it, \
+        f"TPU-path drift: it={rep['iters']} != {want_it}"
+    assert rep["polished"] == polish
     if not polish:
-        assert res.fail_count == 0
+        assert rep["fails"] == 0
 
 
 @pytest.mark.parametrize("solve_dtype,cycle,fuse", [
