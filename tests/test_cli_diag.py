@@ -215,3 +215,24 @@ def test_cli_profile_captures_trace(tmp_path):
     assert rc == 0
     assert glob.glob(os.path.join(tdir, "plugins", "profile", "*")), \
         "no profiler trace written"
+
+
+def test_roofline_model_sanity():
+    """The bytes model must scale linearly in cycle count, count the
+    deep tape per-cycle when unfused, and charge the (amortized) build
+    instead when fused."""
+    from otamg.diag.roofline import roofline_report, solve_bytes_model
+
+    caps = [500, 313, 196, 123]
+    kw = dict(m=500, n=500, iters=58, ssn_total=100, smoth=5, gamma=3,
+              caps=caps)
+    b1 = solve_bytes_model(cycles_total=500, fuse_deep=False, **kw)
+    b2 = solve_bytes_model(cycles_total=1000, fuse_deep=False, **kw)
+    assert b2 > b1 > 0
+    bf = solve_bytes_model(cycles_total=500, fuse_deep=True, **kw)
+    # Fused replaces per-cycle deep-tape traffic with one GEMV + an
+    # amortized build: at 500 cycles / 100 solves it must model fewer
+    # deep bytes than the unfused tape.
+    assert bf < b1
+    rep = roofline_report(b1, 10.0)
+    assert rep["model_gbps"] > 0 and 0 < rep["roofline_frac"] < 1
