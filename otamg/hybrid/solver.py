@@ -114,6 +114,17 @@ def make_hybrid_amg_solver(p: jax.Array, q: jax.Array,
         opts = dataclasses.replace(
             opts, max_levels=2, coarse_solver="pcg",
             coarse_pcg=PCGOptions(retol=1e-11, maxit=100))
+    if dist_mesh is not None and opts.fuse_deep:
+        import dataclasses
+
+        # The fused deep-matrix build runs dense GEMM chains over the
+        # hierarchy arrays; under the explicit-collectives assembly
+        # those arrays are mesh-sharded and every build GEMM drags
+        # collectives through the composition chain — pathologically
+        # slow on a CPU mesh and pointless anyway (the deep levels are
+        # replicated-scale objects).  Disable the fusion here; the
+        # single-controller TPU path keeps it.
+        opts = dataclasses.replace(opts, fuse_deep=False)
 
     def solve(S, tvec, bk1, tk, rhs, key) -> NewtonSolveResult:
         k_setup, k_solve = jax.random.split(key)
