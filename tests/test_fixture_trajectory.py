@@ -123,6 +123,28 @@ def test_class2_tpu_trajectory(class2_fixture_path, polish, want_it):
         assert rep["fails"] == 0
 
 
+_C2_PIN_CHILD = """
+import json, sys
+import jax
+jax.config.update("jax_enable_x64", True)
+from otamg.config import AMGOptions, APDOptions, Cycle, InnerSolver
+from otamg.opt.apd2 import solve_class2
+from otamg.ot import load_class2_mat
+
+solve_dtype = None if sys.argv[1] == "none" else sys.argv[1]
+cycle = Cycle[sys.argv[2]]
+fuse = sys.argv[3] == "1"
+prob = load_class2_mat(sys.argv[4])
+amg = (AMGOptions(cycle=cycle) if cycle == Cycle.W
+       else AMGOptions(maxit=40, smoth=10, cycle=cycle, fuse_deep=fuse))
+opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
+                  solve_dtype=solve_dtype, amg=amg)
+res = solve_class2(prob, opts)
+print("CHILD " + json.dumps(dict(converged=bool(res.converged),
+                                 iters=int(res.iters))))
+"""
+
+
 @pytest.mark.parametrize("solve_dtype,cycle,fuse", [
     (None, Cycle.W, False), ("float32", Cycle.W, False),
     (None, Cycle.F, False), (None, Cycle.F, True)])
@@ -132,17 +154,29 @@ def test_class2_fixture_it53(class2_fixture_path, solve_dtype, cycle, fuse):
     refinement) must reproduce the f64 trajectory exactly — the Class-2
     analogue of the Class-1 fp32 pin, so a TPU-path divergence (as in the
     round-2 Class-1 bug) cannot ship silently.  The F-cycle variant pins
-    the bench's TPU configuration."""
+    the bench's TPU configuration.
+
+    SUBPROCESS-isolated like test_class2_tpu_trajectory: XLA:CPU
+    sporadically segfaults compiling a large class-2 program as the
+    ~70th compilation inside one pytest process (compiler-state
+    exhaustion; never reproduces standalone)."""
+    import json
+    import subprocess
+    import sys
+
     _skip_unless(class2_fixture_path)
-    prob = load_class2_mat(class2_fixture_path)
-    # W variants pin the original (default-AMG) contract; the F variant
-    # pins the bench's exact TPU configuration (maxit 40 / smoth 10,
-    # Class2/APD_SsN_Class2.m:80-81).
-    amg = (AMGOptions(cycle=cycle) if cycle == Cycle.W
-           else AMGOptions(maxit=40, smoth=10, cycle=cycle,
-                           fuse_deep=fuse))
-    opts = APDOptions(inner_solver=InnerSolver.AMG, ssn_tol1=1e-10,
-                      solve_dtype=solve_dtype, amg=amg)
-    res = solve_class2(prob, opts)
-    assert res.converged
-    assert res.iters == 53, f"trajectory drift: it={res.iters} != 53"
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu",
+               XLA_FLAGS="--xla_force_host_platform_device_count=8",
+               OTAMG_NO_COMPILE_CACHE="1")
+    proc = subprocess.run(
+        [sys.executable, "-c", _C2_PIN_CHILD,
+         solve_dtype or "none", cycle.name, "1" if fuse else "0",
+         class2_fixture_path],
+        capture_output=True, text=True, timeout=3000, env=env,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rep = next(json.loads(l[6:]) for l in proc.stdout.splitlines()
+               if l.startswith("CHILD "))
+    assert rep["converged"]
+    assert rep["iters"] == 53, \
+        f"trajectory drift: it={rep['iters']} != 53"
