@@ -202,8 +202,11 @@ def _bench_once(cls: str, inner: str):
                         if warm and min(warm) > 0 else None),
     }
     # End-to-end roofline accounting (VERDICT item 6): modelled HBM
-    # bytes from the solve's own counters / measured wall time.
-    if ok:
+    # bytes from the solve's own counters / measured wall time.  Only
+    # meaningful against a WARM wall time — the cold number includes
+    # minutes of remote compilation, which would deflate model_gbps ~10x
+    # with nothing marking the row as compile-inflated.
+    if ok and warm:
         try:
             from otamg.amg.hierarchy import capacity_schedule
             from otamg.diag.roofline import (roofline_report,

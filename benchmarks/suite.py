@@ -226,14 +226,18 @@ def main():
             from otamg.dist import make_mesh
 
             mesh = make_mesh(ndev)
-        # F-cycle + fused deep correction: trajectory-identical to the
-        # reference W (pinned in tests/test_fixture_trajectory.py) at a
-        # linear-in-depth tape — what makes a WARM cfg5 measurement fit
-        # the 2-core CPU budget (round-4 cold W run: 3607 s).
+        # F-cycle: linear-in-depth tape, trajectory-identical to the
+        # reference W (pinned in tests/test_fixture_trajectory.py) — what
+        # makes a WARM cfg5 measurement fit the 2-core CPU budget
+        # (round-4 cold W run: 3607 s).  NOTE: fuse_deep is NOT requested
+        # here — make_hybrid_amg_solver force-disables the fused deep
+        # build whenever explicit-dist sharding is active (the deep
+        # matrix would gather sharded operands), so passing it would
+        # only mislabel the recorded config.
         run_class1(size, size, "F", "AMG", mesh=mesh,
                    label=f"cfg5_class1_{size}_dist{ndev}_explicit",
                    explicit_dist=True, single=args.single,
-                   fuse_deep=True)
+                   fuse_deep=False)
 
 
 if __name__ == "__main__":

@@ -684,19 +684,56 @@ def setup_hierarchy_generic(A, opts: AMGOptions,
             # Row-shard the fine level over the mesh; every solve-phase
             # fine matvec becomes the halo-exchange distributed SpMV.
             mesh, halo = dist
-            from jax.sharding import NamedSharding, PartitionSpec
-
-            row = NamedSharding(mesh, PartitionSpec("x", None))
-            vec = NamedSharding(mesh, PartitionSpec("x"))
-            head = HaloCSRLevel(
-                jax.device_put(head.ell_cols, row),
-                jax.device_put(head.ell_vals, row),
-                jax.device_put(head.dg, vec),
-                jax.device_put(head.labels, vec),
-                jax.device_put(head.nsp, vec),
-                jax.device_put(head.Axi, vec),
-                jax.device_put(head.xx, vec), mesh, halo)
+            head = _shard_halo_level(head, mesh, halo)
     return head, chain[1:]
+
+
+def _shard_halo_level(head, mesh, halo: int):
+    """Row-shard a :class:`CSRLevel` head over ``mesh`` as a
+    :class:`HaloCSRLevel`, validating :func:`otamg.dist.spmv.spmv_halo`'s
+    bandwidth contract EAGERLY: every stored (nonzero-valued) column of
+    shard ``s`` must lie in ``[s*R - halo, (s+1)*R + halo)``.  The
+    solve-phase SpMV clamps column indices purely to guard the gather —
+    a too-small halo would otherwise silently evaluate a clamped
+    operator A' and converge amg_solve to the wrong system's solution
+    (round-5 review), so an out-of-window column is a loud setup error
+    here instead.  Zero-valued padding slots (col 0) are exempt: they
+    contribute nothing through the clamp."""
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    ndev = mesh.devices.size
+    N = head.ell_cols.shape[0]
+    if N % ndev != 0:
+        raise ValueError(f"halo fine level: {N} rows do not divide the "
+                         f"{ndev}-device mesh")
+    R = N // ndev
+    if halo > R:
+        raise ValueError(f"halo={halo} wider than the {R}-row shard block")
+    shard = jnp.arange(N, dtype=head.ell_cols.dtype) // R
+    lo = (shard * R - halo)[:, None]
+    hi = ((shard + 1) * R + halo)[:, None]
+    bad = jnp.logical_and(head.ell_vals != 0,
+                          jnp.logical_or(head.ell_cols < lo,
+                                         head.ell_cols >= hi))
+    if bool(jnp.any(bad)):
+        need = int(jnp.max(jnp.where(
+            bad, jnp.maximum(lo - head.ell_cols, head.ell_cols - hi + 1),
+            0))) + halo
+        raise ValueError(
+            f"halo={halo} violates the banded SpMV contract: "
+            f"{int(jnp.sum(bad))} stored entries fall outside their "
+            f"shard's column window (need halo >= {need}); spmv_halo "
+            f"would silently evaluate a clamped operator")
+    row = NamedSharding(mesh, PartitionSpec("x", None))
+    vec = NamedSharding(mesh, PartitionSpec("x"))
+    return HaloCSRLevel(
+        jax.device_put(head.ell_cols, row),
+        jax.device_put(head.ell_vals, row),
+        jax.device_put(head.dg, vec),
+        jax.device_put(head.labels, vec),
+        jax.device_put(head.nsp, vec),
+        jax.device_put(head.Axi, vec),
+        jax.device_put(head.xx, vec), mesh, halo)
 
 
 def _agg_galerkin_ell(cols, vals, k: int, out_cap: int):
@@ -763,16 +800,7 @@ def setup_hierarchy_sparse(csr, opts: AMGOptions, key: jax.Array,
     head = mk_sparse_level(cols, vals, N, None)
     if dist is not None:
         mesh, halo = dist
-        from jax.sharding import NamedSharding, PartitionSpec
-
-        row = NamedSharding(mesh, PartitionSpec("x", None))
-        vec = NamedSharding(mesh, PartitionSpec("x"))
-        head = HaloCSRLevel(
-            jax.device_put(head.ell_cols, row),
-            jax.device_put(head.ell_vals, row),
-            jax.device_put(head.dg, vec), jax.device_put(head.labels, vec),
-            jax.device_put(head.nsp, vec), jax.device_put(head.Axi, vec),
-            jax.device_put(head.xx, vec), mesh, halo)
+        head = _shard_halo_level(head, mesh, halo)
 
     chain: list = []
     c, v, n = cols, vals, N

@@ -22,6 +22,7 @@ Two storage layouts:
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 from typing import Any, NamedTuple, Optional
@@ -152,6 +153,45 @@ def _load_sharded(path: str, step: int, template: Optional[dict]) -> dict:
     return out
 
 
+def _assemble_from_proc_files(files: list, template: Optional[dict]) -> dict:
+    """Single-process reassembly of a multi-process checkpoint: read every
+    ``step_{k}.proc{p}of{n}.npz`` and stitch each sharded array back
+    together from its shard blocks' global indices.  Everything is
+    addressable in one process, so the result is returned as ordinary
+    arrays — device_put against ``template`` shardings when given."""
+    import jax
+    import jax.numpy as jnp
+
+    out: dict[str, Any] = {}
+    blocks: dict[str, list] = {}
+    for f in files:
+        d = np.load(f)
+        meta = json.loads(str(d["__meta__"]))
+        out.setdefault("k", int(d["k"]))
+        for name in set(k.split("__s")[0] for k in d.files
+                        if k not in ("k", "__meta__")):
+            if name not in meta:
+                # Replicated / unsharded: identical in every proc file.
+                if name not in out:
+                    out[name] = jnp.asarray(d[name])
+            else:
+                for si, idx_key in enumerate(meta[name]):
+                    idx = tuple(slice(a, b) for a, b in json.loads(idx_key))
+                    blocks.setdefault(name, []).append(
+                        (idx, d[f"{name}__s{si}"]))
+    for name, parts in blocks.items():
+        ndim = len(parts[0][0])
+        shape = tuple(max(p[0][dim].stop for p in parts)
+                      for dim in range(ndim))
+        arr = np.zeros(shape, parts[0][1].dtype)
+        for idx, blk in parts:
+            arr[idx] = blk
+        t = (template or {}).get(name)
+        out[name] = (jax.device_put(arr, t.sharding) if t is not None
+                     else jnp.asarray(arr))
+    return out
+
+
 def load_dict(path: str, step: Optional[int] = None,
               template: Optional[dict] = None) -> dict:
     import jax.numpy as jnp
@@ -168,11 +208,14 @@ def load_dict(path: str, step: Optional[int] = None,
         out = {k: jnp.asarray(d[k]) for k in d.files if k != "k"}
         out["k"] = int(d["k"])
         return out
-    # A single-process restore of a sharded save (e.g. 1-proc rerun of a
-    # multi-proc run's artifacts) reassembles from all proc files.
-    proc0 = os.path.join(path, f"step_{step}.proc0of1.npz")
-    if os.path.exists(proc0):
-        return _load_sharded(path, step, template)
+    # A single-process restore of a multi-process run's artifacts:
+    # everything is addressable here, so stitch the global arrays back
+    # together from ALL proc files' shard blocks (round-5 review: the
+    # old probe looked for step_{k}.proc0of1.npz, a name no run writes).
+    procs = sorted(glob.glob(
+        os.path.join(glob.escape(path), f"step_{step}.proc*of*.npz")))
+    if procs:
+        return _assemble_from_proc_files(procs, template)
     import orbax.checkpoint as ocp
 
     ckpt = ocp.StandardCheckpointer()

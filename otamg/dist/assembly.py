@@ -160,6 +160,12 @@ def ell_row_sum_duplicates(cols, vals, out_cap: int):
     pad_only = jnp.logical_and(cs[:, 0] == 0, g0_sum == 0)
     gid = gid - pad_only[:, None].astype(gid.dtype)
     ngroups_max = jnp.max(gid[:, -1]) + 1
+    # gid=-1 must NOT reach the scatter: JAX normalizes negative indices
+    # BEFORE the mode="drop" OOB check, so -1 wraps to slot out_cap-1 and
+    # can clobber a real column at exact-fit rows (scatter order with
+    # duplicate indices is implementation-defined).  Remap the padding
+    # group to out_cap, which is genuinely out of bounds and dropped.
+    gid = jnp.where(gid < 0, out_cap, gid)
     R = cols.shape[0]
     rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None],
                             gid.shape)

@@ -453,7 +453,10 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
             lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
             k_start = d["k"] + 1
-            prev_restored = d.get("prev")
+            # Key unified with the chunked driver ('prev_kkt') so a
+            # checkpoint written by either driver resumes in the other;
+            # 'prev' accepted for pre-round-5 artifacts.
+            prev_restored = d.get("prev_kkt", d.get("prev"))
 
     kkt_hist = [kkt0]
     fxk = [float(fx0)]
@@ -558,7 +561,7 @@ def solve_class2(prob: Class2Problem, opts: APDOptions | None = None,
 
             ckpt.save_dict(checkpoint_dir, k,
                            dict(X=X, us=us, VX=VX, vs=vs, lam=lam,
-                                bk=bk, key=key, prev=prev_dev))
+                                bk=bk, key=key, prev_kkt=prev_dev))
     if pending is not None:
         kp, mtr_p = pending
         kk = record(mtr_p)
@@ -694,7 +697,11 @@ def solve_class2_chunked(prob: Class2Problem,
                                              lam=lam))
             X, us, VX, vs = d["X"], d["us"], d["VX"], d["vs"]
             lam, bk, key = d["lam"].astype(hi), d["bk"], d["key"]
-            prev = d["prev_kkt"].astype(dtype)
+            prev = d.get("prev_kkt", d.get("prev"))
+            if prev is None:
+                raise KeyError("checkpoint is missing 'prev_kkt' (restart-"
+                               "heuristic residual) — cannot exact-resume")
+            prev = prev.astype(dtype)
             k = d["k"] + 1
     kkt_hist = [kkt0]
     fxk = [float(fx0)]

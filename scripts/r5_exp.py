@@ -97,7 +97,7 @@ def run(name):
     nwarm = int(os.environ.get("OTAMG_WARM_SAMPLES",
                                "3" if size == 500 else "1"))
     if res.converged:
-        warm = []
+        warm, warm_iters = [], None
         for _ in range(nwarm):
             time.sleep(5)
             t0 = time.time()
@@ -105,11 +105,12 @@ def run(name):
             if not res2.converged:
                 break
             warm.append(round(time.time() - t0, 3))
+            warm_iters = int(res2.iters)  # last CONVERGED sample only
         if warm:
             out["warm_samples"] = warm
             out["warm_s"] = min(warm)
             out["warm_median_s"] = sorted(warm)[len(warm) // 2]
-            out["warm_iters"] = int(res2.iters)
+            out["warm_iters"] = warm_iters
     # End-to-end roofline accounting (same model as bench.py).
     if res.converged:
         try:
@@ -126,6 +127,9 @@ def run(name):
                 size, size, int(res.iters), out["ssn_total"],
                 out["cycles_total"], amg.smoth, gamma, caps, fuse)
             wall = out.get("warm_s") or cold_s
+            # A cold basis includes remote-compile minutes — label it so
+            # the row can't be read as a solve-efficiency claim.
+            out["roofline_basis"] = "warm" if out.get("warm_s") else "cold"
             out.update(roofline_report(model_b, wall))
         except Exception as exc:
             out["roofline_error"] = repr(exc)[:200]

@@ -379,6 +379,29 @@ def test_generic_amg_halo_csr_fine_level():
                                rtol=1e-11, atol=1e-13)
 
 
+def test_halo_bandwidth_violation_is_loud():
+    """Round-5 review: ``spmv_halo`` clamps column indices purely to
+    guard the gather, so a too-small halo would silently evaluate a
+    CLAMPED operator and amg_solve would converge to the wrong system's
+    solution.  Setup must reject it eagerly — with the halo the operator
+    actually needs in the message."""
+    from otamg.amg import setup_hierarchy_generic
+    from otamg.config import AMGOptions
+    from otamg.dist import make_mesh
+    from otamg.sparse import CSR
+
+    if len(jax.devices()) < 4:
+        pytest.skip("needs >= 4 devices")
+    N = 256
+    A = _grid_laplacian(16, 16) + 0.01 * np.eye(N)  # bandwidth 16
+    csr = CSR.from_dense(jnp.asarray(A), row_cap=5)
+    opts = AMGOptions(maxit=60, coarse_target=48)
+    mesh = make_mesh(4)
+    with pytest.raises(ValueError, match="need halo >= 16"):
+        setup_hierarchy_generic(csr, opts, jax.random.PRNGKey(0),
+                                dist=(mesh, 4))
+
+
 def _banded_ell(N, shift=0.01):
     """1-D Laplacian + shift as padded ELL arrays (tridiagonal)."""
     import scipy.sparse as sp

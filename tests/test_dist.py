@@ -227,6 +227,25 @@ def test_spgemm_rowsharded_compaction_chain(mesh):
     np.testing.assert_allclose(dense, A3, rtol=1e-11, atol=1e-11)
 
 
+def test_ell_row_sum_duplicates_exact_fit_padding():
+    """Round-5 review: a row with padding slots plus EXACTLY ``out_cap``
+    real distinct columns must keep every real column.  The padding
+    group's gid=-1 must be remapped to a genuinely out-of-bounds index:
+    JAX normalizes negative scatter indices BEFORE the ``mode="drop"``
+    check, so -1 otherwise wraps to slot ``out_cap - 1`` and can clobber
+    the last real column (scatter order with duplicate indices is
+    implementation-defined — it happened to be benign on CPU)."""
+    from otamg.dist.assembly import ell_row_sum_duplicates
+
+    cols = jnp.asarray([[0, 0, 3, 5, 7, 9]])
+    vals = jnp.asarray([[0.0, 0.0, 1.0, 2.0, 3.0, 4.0]])
+    oc, ov, need = ell_row_sum_duplicates(cols, vals, out_cap=4)
+    assert int(need) == 4  # exact fit: must NOT flag overflow
+    got = {(int(c), float(v))
+           for c, v in zip(np.asarray(oc)[0], np.asarray(ov)[0])}
+    assert got == {(3, 1.0), (5, 2.0), (7, 3.0), (9, 4.0)}
+
+
 def test_spgemm_rowsharded_overflow_flagged(mesh):
     """A too-tight ``out_cap`` must be DETECTED (round-3 advisor item):
     ``cap_needed > out_cap`` whenever real merged entries were dropped —
